@@ -1,0 +1,142 @@
+"""Configuration dataclasses for models, data and training.
+
+The reference threads a flat argparse dict everywhere (run_ala.py:417-482 in
+/root/reference); here each subsystem gets a typed dataclass, and the whole
+bundle serializes to JSON for reproducibility (parity with modelparams.json,
+run_ala.py:222-225).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of the CGequiVAE model family.
+
+    Mirrors the CLI surface of the reference trainer (run_ala.py:417-482).
+    """
+
+    n_cgs: int = 3
+    n_basis: int = 600          # feature width F (-n_basis)
+    n_rbf: int = 8              # radial basis size (-n_rbf)
+    atom_cutoff: float = 8.5    # atom-graph radius cutoff, Angstrom
+    cg_cutoff: float = 9.5      # CG-graph radius cutoff, Angstrom
+    enc_nconv: int = 4          # encoder conv depth (-enc_nconv)
+    dec_nconv: int = 5          # decoder conv depth (-dec_nconv)
+    activation: str = "swish"
+    # contraction (atom->CG pooling) cutoff; hard-coded 20.0 at the reference
+    # call site (cgvae.py:249)
+    contract_cutoff: float = 20.0
+    dec_type: str = "pseudo"    # "pseudo" | "cross" | "painn" | "en" | "inv"
+    breaksym: bool = False      # init pseudoscalar channel to 1 (cgvae.py:91-94)
+    det: bool = False           # deterministic AE mode (no sampling)
+    equivariant: bool = True    # False -> linear "euclidean" head (cgvae.py:424)
+    offset: bool = True         # COM re-centering constraint (cgvae.py:478-481)
+    dropout: float = 0.0
+    # compute dtype for dense-layer matmuls ("float32" or "bfloat16");
+    # geometry (coordinates, distances, unit vectors) always stays float32.
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "dipeptide"
+    ndata: int = 20000
+    batch_size: int = 32
+    cg_method: str = "newman"   # cgae|newman|minimal|alpha|random|backbonepartition|seqpartition
+    edgeorder: int = 2          # high-order bonded-edge expansion (-edgeorder)
+    mapshuffle: float = 0.0
+    nsplits: int = 5            # K-fold CV
+    val_frac: float = 0.1
+    shuffle: bool = True
+    seed: int = 123             # reference seeds everything to 123 (run_ala.py:36-41)
+    auxcutoff: float = 0.0      # optional aux-edge cutoff (generate_aux_edges)
+    # maximum edges per frame for the padded radius graphs; None -> computed
+    # from data (max over frames, rounded up to a bucket).
+    max_atom_edges: Optional[int] = None
+    max_cg_edges: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    nepochs: int = 600
+    lr: float = 8e-5
+    beta: float = 0.05          # KL weight
+    gamma: float = 25.0         # graph (bonded-distance) loss weight
+    eta: float = 0.0            # orientation loss weight (unused by reference drivers)
+    kappa: float = 0.0
+    grad_clip: float = 0.01     # reference clips grad norm to 0.01 (utils.py:156)
+    patience: int = 15          # early-stopping patience
+    lr_patience: int = 2        # ReduceLROnPlateau patience (run_ala.py:213)
+    lr_factor: float = 0.6      # plateau decay factor (-factor 0.6 default)
+    min_lr: float = 5e-8        # scheduler floor (run_ala.py:213-215)
+    loss_skip_factor: float = 200.0  # skip batch if loss >= gamma*200 (utils.py:145)
+    lowess_frac: float = 0.2    # LOWESS smoothing of val loss (run_ala.py:261-274)
+    checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
+    log_every: int = 1
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout. Data parallelism is the main lever at this model scale
+    (the reference is single-GPU, SURVEY.md section 2.11)."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None -> all available
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    logdir: str = "./run"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        raw = json.loads(s)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            parallel=ParallelConfig(**raw.get("parallel", {})),
+            logdir=raw.get("logdir", "./run"),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+# Canonical benchmark configurations (reference README.md:58,64).
+DIPEPTIDE_BENCH = ExperimentConfig(
+    model=ModelConfig(n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5,
+                      cg_cutoff=9.5, enc_nconv=4, dec_nconv=5,
+                      activation="swish", dec_type="pseudo", breaksym=True),
+    data=DataConfig(dataset="dipeptide", ndata=20000, batch_size=32,
+                    cg_method="cgae", edgeorder=2, nsplits=5),
+    train=TrainConfig(nepochs=600, lr=8e-5, beta=0.05, gamma=25.0, patience=15),
+)
+
+CHIGNOLIN_BENCH = ExperimentConfig(
+    model=ModelConfig(n_cgs=6, n_basis=600, n_rbf=10, atom_cutoff=12.0,
+                      cg_cutoff=25.0, enc_nconv=2, dec_nconv=9,
+                      activation="swish", dec_type="cross"),
+    data=DataConfig(dataset="chignolin", ndata=5000, batch_size=2,
+                    cg_method="cgae", nsplits=5),
+    train=TrainConfig(nepochs=100, lr=1e-4, beta=0.05, gamma=50.0,
+                      lr_factor=0.3, patience=14),
+)

@@ -1,0 +1,239 @@
+"""CG-mapping protocols.
+
+Host-side (per-fold, once) reimplementations of the reference's mapping
+dispatch (get_cg_and_xyz, datasets.py:252-342 in /root/reference):
+
+  random            -- rejection-sampled uniform assignment (datasets.py:412-420)
+  seqpartition      -- random contiguous sequence partition (datasets.py:314-322)
+  newman            -- Girvan-Newman community partition of the bond graph
+                       (datasets.py:363-385), optional mapshuffle corruption
+  backbonepartition -- random cumsum partition of backbone indices + nearest-
+                       site assignment for the rest (datasets.py:73-105)
+  spectral          -- TPU-era addition: k-means over bond-graph spectral
+                       embedding (fast, deterministic alternative to newman)
+  minimal / alpha   -- mdtraj atom-index selections; available when mdtraj is
+                       installed (gated)
+  cgae              -- learned via the jitted gumbel-softmax autoencoder
+                       (models/cgae.py; learn_map in train/cgae_train.py)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def random_mapping(n_cgs: int, n_atoms: int, seed: int = 0, max_tries: int = 10_000_000) -> np.ndarray:
+    """Uniform random assignment, rejected until all beads populated
+    (get_random_mapping, datasets.py:412-420)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(max_tries):
+        mapping = rng.integers(0, n_cgs, size=n_atoms)
+        if np.unique(mapping).shape[0] == n_cgs:
+            return mapping.astype(np.int32)
+    raise RuntimeError("could not sample a mapping covering all CG beads")
+
+
+def seq_partition(n_cgs: int, n_atoms: int, seed: int = 0) -> np.ndarray:
+    """Random contiguous partition of the atom sequence
+    (datasets.py:314-322)."""
+    rng = np.random.default_rng(seed)
+    cut = np.sort(rng.choice(np.arange(n_atoms), size=n_cgs - 1, replace=False))
+    mapping = np.zeros(n_atoms)
+    mapping[cut] = 1
+    return np.cumsum(mapping).astype(np.int32)
+
+
+def _edge_betweenness(adj_list, n: int) -> dict:
+    """Brandes' algorithm for edge betweenness centrality (unweighted)."""
+    betweenness: dict = {}
+    for u in range(n):
+        for v in adj_list[u]:
+            if u < v:
+                betweenness[(u, v)] = 0.0
+    for s in range(n):
+        # BFS
+        dist = [-1] * n
+        sigma = [0.0] * n
+        preds = [[] for _ in range(n)]
+        dist[s] = 0
+        sigma[s] = 1.0
+        queue = [s]
+        order = []
+        head = 0
+        while head < len(queue):
+            u = queue[head]
+            head += 1
+            order.append(u)
+            for v in adj_list[u]:
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    queue.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for u in preds[w]:
+                c = sigma[u] / sigma[w] * (1.0 + delta[w])
+                key = (u, w) if u < w else (w, u)
+                betweenness[key] += c
+                delta[u] += c
+    return betweenness
+
+
+def _components(adj_list, n: int):
+    seen = [False] * n
+    comps = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        stack = [s]
+        seen[s] = True
+        comp = []
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj_list[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        comps.append(sorted(comp))
+    return comps
+
+
+def newman_mapping(
+    bonds: np.ndarray,
+    n_atoms: int,
+    n_cgs: int,
+    mapshuffle: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Girvan-Newman community partition of the bonded graph
+    (get_partition/parition2mapping, datasets.py:363-385), implemented
+    directly with Brandes edge betweenness (no networkx dependency).
+    Optionally corrupts a fraction of assignments (mapshuffle,
+    datasets.py:290-296) for the robustness ablation.
+    """
+    edges = {(int(a), int(b)) if a < b else (int(b), int(a)) for a, b in bonds}
+    adj_list = [[] for _ in range(n_atoms)]
+    for a, b in edges:
+        adj_list[a].append(b)
+        adj_list[b].append(a)
+
+    while len(_components(adj_list, n_atoms)) < n_cgs:
+        bt = _edge_betweenness(adj_list, n_atoms)
+        if not bt:
+            break
+        (a, b), _ = max(bt.items(), key=lambda kv: kv[1])
+        adj_list[a].remove(b)
+        adj_list[b].remove(a)
+
+    comps = _components(adj_list, n_atoms)
+    comps = sorted(comps)[:]
+    mapping = np.zeros(n_atoms, dtype=np.int32)
+    for k, comp in enumerate(comps):
+        mapping[comp] = min(k, n_cgs - 1)
+
+    if mapshuffle > 0.0:
+        rng = np.random.default_rng(seed)
+        n_shuf = int(mapshuffle * n_atoms)
+        idx = rng.choice(n_atoms, size=n_shuf, replace=False)
+        mapping[idx] = mapping[rng.permutation(idx)]
+    return mapping
+
+
+def backbone_partition_mapping(
+    frames: np.ndarray,
+    backbone_index: np.ndarray,
+    n_cgs: int,
+    seed: int = 0,
+    skip: int = 100,
+) -> np.ndarray:
+    """Random partition of the backbone + nearest-CG assignment of the rest
+    (backbone_partition, datasets.py:73-105)."""
+    rng = np.random.default_rng(seed)
+    nb = backbone_index.shape[0]
+    if nb < n_cgs:
+        raise ValueError(f"n_cgs={n_cgs} larger than n_backbone={nb}")
+    if nb == n_cgs:
+        part = np.arange(1, n_cgs)
+    else:
+        part = np.sort(rng.choice(np.arange(nb), size=n_cgs - 1, replace=False))
+    bb_map = np.zeros(nb)
+    bb_map[part] = 1
+    bb_map = np.cumsum(bb_map).astype(np.int64)
+
+    sub = frames[::skip]
+    bb_xyz = sub[:, backbone_index]  # (S, nb, 3)
+    cg_xyz = np.stack(
+        [bb_xyz[:, bb_map == k].mean(axis=1) for k in range(int(bb_map.max()) + 1)],
+        axis=1,
+    )  # (S, n_cgs, 3)
+    d = np.linalg.norm(sub[:, :, None, :] - cg_xyz[:, None, :, :], axis=-1).mean(0)
+    return np.argmin(d, axis=-1).astype(np.int32)
+
+
+def spectral_mapping(bonds: np.ndarray, n_atoms: int, n_cgs: int, seed: int = 0) -> np.ndarray:
+    """k-means over the bond-graph Laplacian spectral embedding.
+
+    A TPU-era fast alternative to Girvan-Newman (which is O(E^2 N); the
+    reference accepts its slowness since it runs once per fold,
+    SURVEY.md "Hard parts"). Deterministic given the seed.
+    """
+    adj = np.zeros((n_atoms, n_atoms))
+    adj[bonds[:, 0], bonds[:, 1]] = 1
+    adj[bonds[:, 1], bonds[:, 0]] = 1
+    deg = adj.sum(1)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, deg**-0.5, 0.0)
+    lap = np.eye(n_atoms) - dinv[:, None] * adj * dinv[None, :]
+    w, v = np.linalg.eigh(lap)
+    emb = v[:, 1 : n_cgs + 1]
+    rng = np.random.default_rng(seed)
+    centers = emb[rng.choice(n_atoms, n_cgs, replace=False)]
+    for _ in range(100):
+        d = ((emb[:, None] - centers[None]) ** 2).sum(-1)
+        lbl = d.argmin(1)
+        new = np.stack(
+            [emb[lbl == k].mean(0) if (lbl == k).any() else centers[k] for k in range(n_cgs)]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    # relabel by first occurrence for determinism
+    remap = {}
+    out = np.empty(n_atoms, dtype=np.int32)
+    for i, l in enumerate(lbl):
+        if l not in remap:
+            remap[l] = len(remap)
+        out[i] = remap[l]
+    return out
+
+
+def get_mapping(
+    method: str,
+    n_cgs: int,
+    n_atoms: int,
+    bonds: Optional[np.ndarray] = None,
+    frames: Optional[np.ndarray] = None,
+    backbone_index: Optional[np.ndarray] = None,
+    mapshuffle: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Dispatch mirroring get_cg_and_xyz (datasets.py:252-342). The 'cgae'
+    method lives in train/cgae_train.py (it trains a model)."""
+    if method == "random":
+        return random_mapping(n_cgs, n_atoms, seed)
+    if method == "seqpartition":
+        return seq_partition(n_cgs, n_atoms, seed)
+    if method == "newman":
+        assert bonds is not None
+        return newman_mapping(bonds, n_atoms, n_cgs, mapshuffle, seed)
+    if method == "backbonepartition":
+        assert frames is not None and backbone_index is not None
+        return backbone_partition_mapping(frames, backbone_index, n_cgs, seed)
+    if method == "spectral":
+        assert bonds is not None
+        return spectral_mapping(bonds, n_atoms, n_cgs, seed)
+    raise ValueError(f"mapping method {method!r} not handled here")

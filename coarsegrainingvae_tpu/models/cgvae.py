@@ -1,0 +1,467 @@
+"""CGequiVAE model family (flax.linen).
+
+TPU-native re-design of the reference models (cgvae.py:8-594 in
+/root/reference). A whole `CGBatch` is flattened into one big graph with
+static shapes (per-sample indices + arithmetic offsets, no host work), and
+every aggregation is a masked segment op. The per-bead channel lift
+(CG2ChannelIdx) is a precomputed constant carried by the batch instead of a
+per-batch Python loop (cgvae.py:451-460).
+
+Live-path parity notes:
+* The reference encoder constructs but never calls its update blocks /
+  CG-graph message blocks (cgvae.py:290-328, commented out); we only build
+  what runs, so parameter counts differ from the reference checkpoint format.
+* The reference decoder's pseudo-update call is likewise commented out
+  (cgvae.py:116-120); `EquivariantPseudoDecoder` matches the live path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from coarsegrainingvae_tpu.config import ModelConfig
+from coarsegrainingvae_tpu.data.batch import CGBatch, flatten_ids
+from coarsegrainingvae_tpu.models.conv import (
+    ContractiveMessageBlock,
+    ENMessageBlock,
+    EquiMessageBlock,
+    EquiMessageCross,
+    EquiMessagePseudo,
+    InvMessageBlock,
+    UpdateBlock,
+)
+from coarsegrainingvae_tpu.models.modules import Dense, EmbeddingZeroPad, MLP
+from coarsegrainingvae_tpu.ops.segment import segment_mean
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class FlatGraph:
+    """A CGBatch flattened to one global graph (all static shapes)."""
+
+    z: Array          # (BN,)
+    xyz: Array        # (BN, 3)
+    atom_mask: Array  # (BN,)
+    cg_z: Array       # (BM,)
+    cg_xyz: Array     # (BM, 3)
+    cg_mask: Array    # (BM,)
+    mapping: Array    # (BN,) global bead ids
+    channel_idx: Array
+    nbrs: Array       # (BE, 2) global
+    nbr_mask: Array
+    cg_nbrs: Array    # (BEc, 2) global
+    cg_nbr_mask: Array
+    bonds: Array      # (BEb, 2) global
+    bond_mask: Array
+    num_nodes: int = struct.field(pytree_node=False)
+    num_cg: int = struct.field(pytree_node=False)
+
+
+def flatten_batch(batch: CGBatch) -> FlatGraph:
+    b, n = batch.z.shape
+    m = batch.cg_z.shape[1]
+    return FlatGraph(
+        z=batch.z.reshape(-1),
+        xyz=batch.xyz.reshape(-1, 3),
+        atom_mask=batch.atom_mask.reshape(-1),
+        cg_z=batch.cg_z.reshape(-1),
+        cg_xyz=batch.cg_xyz.reshape(-1, 3),
+        cg_mask=batch.cg_mask.reshape(-1),
+        mapping=flatten_ids(batch.mapping, m),
+        channel_idx=batch.channel_idx.reshape(-1),
+        nbrs=flatten_ids(batch.nbrs, n),
+        nbr_mask=batch.nbr_mask.reshape(-1),
+        cg_nbrs=flatten_ids(batch.cg_nbrs, m),
+        cg_nbr_mask=batch.cg_nbr_mask.reshape(-1),
+        bonds=flatten_ids(batch.bonds, n),
+        bond_mask=batch.bond_mask.reshape(-1),
+        num_nodes=b * n,
+        num_cg=b * m,
+    )
+
+
+def _edge_vec(xyz: Array, edges: Array) -> Array:
+    return jnp.take(xyz, edges[:, 1], axis=0) - jnp.take(xyz, edges[:, 0], axis=0)
+
+
+@struct.dataclass
+class VAEOutput:
+    mu: Optional[Array]
+    sigma: Optional[Array]
+    prior_mu: Optional[Array]
+    prior_sigma: Optional[Array]
+    xyz: Array
+    xyz_recon: Array
+
+
+class EquiEncoder(nn.Module):
+    """Atom-graph PaiNN encoder with per-layer atom->CG contraction
+    (cgvae.py:194-331). Returns (H per-bead, h per-atom).
+
+    NOTE the reference wires cutoff=cg_cutoff into this encoder's edge
+    filters (run_ala.py:199-201) -- preserved via the `cutoff` field.
+    """
+
+    n_conv: int
+    feat_dim: int
+    n_rbf: int
+    activation: str
+    cutoff: float
+    contract_cutoff: float = 20.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph) -> Tuple[Array, Array]:
+        h = EmbeddingZeroPad(100, self.feat_dim)(g.z)
+        v = jnp.zeros((g.num_nodes, 3, self.feat_dim), h.dtype)
+
+        r_ij = _edge_vec(g.xyz, g.nbrs)
+        r_iI = g.xyz - jnp.take(g.cg_xyz, g.mapping, axis=0)
+
+        H = jnp.zeros((g.num_cg, self.feat_dim), h.dtype)
+        V = jnp.zeros((g.num_cg, 3, self.feat_dim), h.dtype)
+
+        for i in range(self.n_conv):
+            ds, dv = EquiMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(h, v, r_ij, g.nbrs, g.nbr_mask)
+            h = h + ds
+            v = v + dv
+
+            if i == 0:
+                H = segment_mean(h, g.mapping, g.num_cg, g.atom_mask)
+                V = segment_mean(v, g.mapping, g.num_cg, g.atom_mask)
+
+            dH, dV = ContractiveMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.contract_cutoff, dtype=self.dtype,
+            )(h, v, r_iI, g.mapping, g.num_cg, g.atom_mask)
+            H = H + dH
+            V = V + dV
+
+        return H, h
+
+
+class CGprior(nn.Module):
+    """Conditional prior p(z | CG geometry) (cgvae.py:334-403): PaiNN convs
+    on the CG graph (bead-index embedding) -> mu, sigma heads."""
+
+    n_conv: int
+    feat_dim: int
+    n_rbf: int
+    activation: str
+    cutoff: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph) -> Tuple[Array, Array]:
+        h = EmbeddingZeroPad(100, self.feat_dim)(g.cg_z)
+        v = jnp.zeros((g.num_cg, 3, self.feat_dim), h.dtype)
+        r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+
+        for _ in range(self.n_conv):
+            ds, dv = EquiMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(h, v, r_ij, g.cg_nbrs, g.cg_nbr_mask)
+            h = h + ds
+            v = v + dv
+
+        mu = MLP([self.feat_dim, self.feat_dim], activation="Tanh", dtype=self.dtype)(h)
+        logvar = MLP([self.feat_dim, self.feat_dim], activation="Tanh", dtype=self.dtype)(h)
+        sigma = 1e-9 + jnp.exp(logvar / 2.0)
+        return mu, sigma
+
+
+class EquivariantDecoder(nn.Module):
+    """Decoder over the CG graph: (EquiMessageCross | EquiMessageBlock) +
+    UpdateBlock per layer (cgvae.py:129-191)."""
+
+    feat_dim: int
+    n_rbf: int
+    cutoff: float
+    num_conv: int
+    activation: str
+    cross: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph, S: Array) -> Tuple[Array, Array]:
+        H = S
+        V = jnp.zeros((S.shape[0], 3, self.feat_dim), S.dtype)
+        r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+        block = EquiMessageCross if self.cross else EquiMessageBlock
+
+        for i in range(self.num_conv):
+            dH, dV = block(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(H, V, r_ij, g.cg_nbrs, g.cg_nbr_mask)
+            H = H + dH
+            V = V + dV
+            dH, dV = UpdateBlock(
+                feat_dim=self.feat_dim, activation=self.activation, dtype=self.dtype
+            )(H, V)
+            H = H + dH
+            V = V + dV
+        return H, V
+
+
+class EquivariantPseudoDecoder(nn.Module):
+    """Chirality-aware decoder (cgvae.py:52-125): EquiMessagePseudo +
+    UpdateBlock; breaksym seeds the pseudoscalar channel at 1 to break mirror
+    symmetry (enabled when n_cgs == 3, run_ala.py:192-197)."""
+
+    feat_dim: int
+    n_rbf: int
+    cutoff: float
+    num_conv: int
+    activation: str
+    breaksym: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph, S: Array) -> Tuple[Array, Array]:
+        V = jnp.zeros((S.shape[0], 3, self.feat_dim), S.dtype)
+        Vbar = jnp.zeros_like(V)
+        if self.breaksym:
+            Sbar = jnp.ones_like(S)
+        else:
+            Sbar = jnp.zeros_like(S)
+        r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+
+        for i in range(self.num_conv):
+            dS, dSbar, dV, dVbar = EquiMessagePseudo(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(S, Sbar, V, Vbar, r_ij, g.cg_nbrs, g.cg_nbr_mask)
+            S = S + dS
+            Sbar = Sbar + dSbar
+            V = V + dV
+            Vbar = Vbar + dVbar
+
+            dS, dV = UpdateBlock(
+                feat_dim=self.feat_dim, activation=self.activation, dtype=self.dtype
+            )(S, V)
+            S = S + dS
+            V = V + dV
+        return S, V
+
+
+class ENDecoder(nn.Module):
+    """Plain EGNN decoder over the CG graph (cgvae.py:8-48; unused by the
+    reference drivers but part of the surface)."""
+
+    feat_dim: int
+    n_rbf: int
+    cutoff: float
+    num_conv: int
+    activation: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph, S: Array) -> Tuple[Array, Array]:
+        H = S
+        V = jnp.zeros((S.shape[0], 3, self.feat_dim), S.dtype)
+        r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+        for _ in range(self.num_conv):
+            dH, dV = ENMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(H, V, r_ij, g.cg_nbrs, g.cg_nbr_mask)
+            H = H + dH
+            V = V + dV
+        return H, V
+
+
+class InvariantDecoder(nn.Module):
+    """Invariant-message decoder for the --invariantdec ablation
+    (InvMessageBlock path, conv.py:132-163; selected via
+    equivariant=False in the reference model, cgvae.py:424-425)."""
+
+    feat_dim: int
+    n_rbf: int
+    cutoff: float
+    num_conv: int
+    activation: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: FlatGraph, S: Array) -> Tuple[Array, Array]:
+        H = S
+        V = jnp.zeros((S.shape[0], 3, self.feat_dim), S.dtype)
+        r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+        for _ in range(self.num_conv):
+            dH, V = InvMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+            )(H, V, r_ij, g.cg_nbrs, g.cg_nbr_mask)
+            H = H + dH
+            dH, dV = UpdateBlock(
+                feat_dim=self.feat_dim, activation=self.activation, dtype=self.dtype
+            )(H, V)
+            H = H + dH
+            V = V + dV
+        return H, V
+
+
+def lift_channels(
+    cg_v: Array, g: FlatGraph, offset: bool = True
+) -> Array:
+    """Per-bead vector channel -> per-atom displacement + COM constraint +
+    bead anchor (cgvae.py:462-484).
+
+    cg_v: (BM, 3, F); atom i reads channel `channel_idx[i]` of its bead.
+    """
+    per_atom = jnp.take(cg_v, g.mapping, axis=0)           # (BN, 3, F)
+    ch = g.channel_idx[:, None, None]                      # (BN, 1, 1)
+    xyz_rel = jnp.take_along_axis(per_atom, ch, axis=2)[:, :, 0]  # (BN, 3)
+
+    if offset:
+        # geometric-mean constraint: each bead stays the mean of its atoms
+        offsets = segment_mean(xyz_rel, g.mapping, g.num_cg, g.atom_mask)
+        xyz_rel = xyz_rel - jnp.take(offsets, g.mapping, axis=0)
+
+    return xyz_rel + jnp.take(g.cg_xyz, g.mapping, axis=0)
+
+
+class CGequiVAE(nn.Module):
+    """The full VAE (cgvae.py:406-513): encode -> prior -> mu/sigma heads ->
+    reparametrize -> equivariant decode -> channel lift."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.encoder = EquiEncoder(
+            n_conv=c.enc_nconv, feat_dim=c.n_basis, n_rbf=c.n_rbf,
+            activation=c.activation, cutoff=c.cg_cutoff,
+            contract_cutoff=c.contract_cutoff, dtype=dtype,
+        )
+        self.prior_net = CGprior(
+            n_conv=c.enc_nconv, feat_dim=c.n_basis, n_rbf=c.n_rbf,
+            activation=c.activation, cutoff=c.cg_cutoff, dtype=dtype,
+        )
+        if c.dec_type == "pseudo":
+            self.dec = EquivariantPseudoDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation,
+                breaksym=c.breaksym, dtype=dtype,
+            )
+        elif c.dec_type in ("cross", "painn"):
+            self.dec = EquivariantDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation,
+                cross=(c.dec_type == "cross"), dtype=dtype,
+            )
+        elif c.dec_type == "en":
+            self.dec = ENDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation, dtype=dtype,
+            )
+        elif c.dec_type == "inv":
+            self.dec = InvariantDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation, dtype=dtype,
+            )
+        else:
+            raise ValueError(f"unknown dec_type {c.dec_type!r}")
+
+        # mu/sigma heads: Linear-ReLU-Linear (run_ala.py:184-185)
+        self.atom_munet = MLP([c.n_basis, c.n_basis], activation="ReLU", dtype=dtype)
+        self.atom_sigmanet = MLP([c.n_basis, c.n_basis], activation="ReLU", dtype=dtype)
+        if not c.equivariant:
+            self.euclidean = Dense(3 * c.n_basis, dtype=dtype)
+
+    def decode(self, g: FlatGraph, S_I: Array) -> Array:
+        cg_s, cg_v = self.dec(g, S_I)
+        if not self.cfg.equivariant:
+            # non-equivariant "euclidean" head (cgvae.py:469-471)
+            dv = self.euclidean(cg_s).reshape(cg_s.shape[0], self.cfg.n_basis, 3)
+            cg_v = jnp.swapaxes(dv, 1, 2)  # -> (BM, 3, F)
+        return lift_channels(cg_v, g, offset=self.cfg.offset)
+
+    def prior(self, g: FlatGraph) -> Tuple[Array, Array]:
+        return self.prior_net(g)
+
+    def __call__(self, batch: CGBatch) -> VAEOutput:
+        g = flatten_batch(batch)
+        S_I, _ = self.encoder(g)
+        prior_mu, prior_sigma = self.prior_net(g)
+
+        mu = self.atom_munet(S_I)
+        logvar = self.atom_sigmanet(S_I)
+        sigma = 1e-12 + jnp.exp(logvar / 2.0)
+
+        if not self.cfg.det:
+            eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+            z = mu + sigma * eps
+        else:
+            z = S_I
+
+        xyz_recon = self.decode(g, z)
+        return VAEOutput(
+            mu=mu, sigma=sigma, prior_mu=prior_mu, prior_sigma=prior_sigma,
+            xyz=g.xyz, xyz_recon=xyz_recon,
+        )
+
+    def generate(self, batch: CGBatch) -> Array:
+        """Prior-conditioned generation (sampling.py:252-311): draw z from
+        the CG prior and decode. Needs the 'sample' RNG."""
+        g = flatten_batch(batch)
+        prior_mu, prior_sigma = self.prior_net(g)
+        eps = jax.random.normal(self.make_rng("sample"), prior_mu.shape, prior_mu.dtype)
+        return self.decode(g, prior_mu + prior_sigma * eps)
+
+
+class PCN(nn.Module):
+    """Protein Completion Network (cgvae.py:516-594): residue-type embedding
+    -> equivariant decode over the C-alpha graph -> channel lift with
+    C-alpha re-centering (the atom whose channel_idx marks the bead anchor
+    is pinned to its bead)."""
+
+    cfg: ModelConfig
+    ca_recenter: bool = True
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.embedding = EmbeddingZeroPad(100, c.n_basis)
+        self.dec = EquivariantDecoder(
+            feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+            num_conv=c.dec_nconv, activation=c.activation, cross=True,
+            dtype=dtype,
+        )
+
+    def __call__(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> VAEOutput:
+        """ca_mask: (B, N) marks the C-alpha atom of each residue (the
+        reference recenters via explicit ca_idx, cgvae.py:569-574)."""
+        g = flatten_batch(batch)
+        S_I = self.embedding(g.cg_z)
+        cg_s, cg_v = self.dec(g, S_I)
+
+        per_atom = jnp.take(cg_v, g.mapping, axis=0)
+        ch = g.channel_idx[:, None, None]
+        xyz_rel = jnp.take_along_axis(per_atom, ch, axis=2)[:, :, 0]
+
+        if self.ca_recenter and ca_mask is not None:
+            cam = ca_mask.reshape(-1).astype(xyz_rel.dtype)[:, None]
+            # subtract each residue's C-alpha displacement at the C-alpha only
+            xyz_rel = xyz_rel - xyz_rel * cam
+
+        xyz_recon = xyz_rel + jnp.take(g.cg_xyz, g.mapping, axis=0)
+        return VAEOutput(
+            mu=None, sigma=None, prior_mu=None, prior_sigma=None,
+            xyz=g.xyz, xyz_recon=xyz_recon,
+        )
+
+
+def build_cgequivae(cfg: ModelConfig) -> CGequiVAE:
+    return CGequiVAE(cfg=cfg)

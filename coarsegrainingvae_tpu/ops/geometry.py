@@ -1,0 +1,73 @@
+"""Geometric primitives: edge vectors, rotations, RMSD.
+
+`preprocess_r` matches the reference formula exactly (conv.py:25-29 in
+/root/reference): dist = sqrt(sum(r^2 + 1e-8)), unit = r / dist. The epsilon
+inside the sum keeps masked zero-edges finite without data-dependent control
+flow, which is what XLA wants.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def preprocess_r(r_ij: jnp.ndarray, eps: float = 1e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge displacement -> (distance, unit vector). r_ij: (..., 3)."""
+    dist = jnp.sqrt(jnp.sum(r_ij**2 + eps, axis=-1))
+    unit = r_ij / dist[..., None]
+    return dist, unit
+
+
+def edge_vectors(xyz: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """r_ij = x[j] - x[i] for directed edges (i=edges[:,0] receives).
+
+    Matches the reference convention (cgvae.py:276: r_ij =
+    xyz[nbr[:,1]] - xyz[nbr[:,0]]).
+    """
+    return xyz[edges[:, 1]] - xyz[edges[:, 0]]
+
+
+def rotation_matrix_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues rotation matrix. axis: (..., 3) unit, angle: (...) radians."""
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    C = 1.0 - c
+    row0 = jnp.stack([c + x * x * C, x * y * C - z * s, x * z * C + y * s], -1)
+    row1 = jnp.stack([y * x * C + z * s, c + y * y * C, y * z * C - x * s], -1)
+    row2 = jnp.stack([z * x * C - y * s, z * y * C + x * s, c + z * z * C], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def random_rotation_matrices(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(n, 3, 3) uniform-ish random rotations (axis ~ normal, angle ~ U(-pi,pi)).
+
+    The per-frame data augmentation the reference applies at dataset build
+    (datasets.py:65-71,475).
+    """
+    k1, k2 = jax.random.split(key)
+    vec = jax.random.normal(k1, (n, 3), dtype=dtype)
+    axis = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    angle = jax.random.uniform(k2, (n,), dtype=dtype, minval=-jnp.pi, maxval=jnp.pi)
+    return rotation_matrix_from_axis_angle(axis, angle)
+
+
+def rotate(xyz: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotation matrices. xyz: (..., N, 3), rot: (..., 3, 3)."""
+    return jnp.einsum("...ni,...ij->...nj", xyz, jnp.swapaxes(rot, -1, -2))
+
+
+def unaligned_rmsd(x: jnp.ndarray, y: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """RMSD without alignment, matching the reference metric
+    (sampling.py:220-239): sqrt(mean_n sum_3 (dx^2))... NOTE the reference
+    computes sqrt(mean over atoms of squared-norm summed over xyz then .mean())
+    -- i.e. sqrt(mean_n mean_3? ). It does `.pow(2).sum(-1).mean()` under
+    sqrt, i.e. mean over atoms of squared distance. We match that.
+    """
+    sq = jnp.sum((x - y) ** 2, axis=-1)
+    if mask is not None:
+        m = mask.astype(sq.dtype)
+        return jnp.sqrt(jnp.sum(sq * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0))
+    return jnp.sqrt(jnp.mean(sq, axis=-1))

@@ -1,0 +1,92 @@
+"""Benchmark: dipeptide-config training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline derivation (reference README.md:53-58): one dipeptide CV fold
+(~14,400 train frames after the 0.9 val split of a 16,000-frame fold,
+600 epochs, batch 32) takes ~2 h on one GPU =>
+600 * 14400 / 7200 s = 1200 samples/s/device.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC = 1200.0
+
+
+def main() -> None:
+    from coarsegrainingvae_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.mappings import newman_mapping
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+    from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    # canonical dipeptide benchmark hyperparameters (README.md:58)
+    batch_size = 32
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
+            enc_nconv=4, dec_nconv=5, activation="swish", dec_type="pseudo",
+            breaksym=True,
+        ),
+        data=DataConfig(batch_size=batch_size),
+        train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01),
+    )
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=256, seed=0)
+    mapping = newman_mapping(bonds, z.shape[0], 3, seed=0)
+    ds = build_dataset(
+        mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,
+        bonds=bonds, order=2, rotate=True,
+    )
+
+    model = CGequiVAE(cfg=cfg.model)
+    n_dev = 1
+    trainer = Trainer(model, cfg, mesh=make_mesh(n_dev))
+    batch = ds.batch(np.arange(batch_size))
+    state = trainer.init_state(batch, seed=0)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile
+    for i in range(3):
+        state, metrics = trainer.train_step(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 50
+    order = np.arange(len(ds))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        lo = (i * batch_size) % (len(ds) - batch_size)
+        b = ds.batch(order[lo : lo + batch_size])
+        state, metrics = trainer.train_step(state, b, jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_steps * batch_size / dt
+    per_chip = samples_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip_dipeptide",
+                "value": round(per_chip, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

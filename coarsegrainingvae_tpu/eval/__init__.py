@@ -1,0 +1,9 @@
+from coarsegrainingvae_tpu.eval.metrics import (
+    COVALENT_RADII,
+    bond_graphs_batch,
+    compute_rmsd_batch,
+    evaluate_samples,
+    graph_diff_ratio,
+    valid_ratio,
+)
+from coarsegrainingvae_tpu.eval.sampling import sample_ensemble, reconstruct_all

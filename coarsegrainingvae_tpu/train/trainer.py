@@ -96,11 +96,18 @@ class Trainer:
         thresh = gamma * self.cfg.train.loss_skip_factor if gamma > 0 else jnp.inf
         ok = jnp.isfinite(loss) & (loss < thresh)
         scale = ok.astype(jnp.float32)
-        grads = jax.tree.map(lambda g_: g_ * scale, grads)
+        # NaN-safe: select zeros rather than multiply (0 * NaN = NaN)
+        grads = jax.tree.map(lambda g_: jnp.where(ok, g_, jnp.zeros_like(g_)), grads)
 
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -state.lr * scale * u, updates)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates
+        )
         params = optax.apply_updates(state.params, updates)
+        # a skipped batch must not advance optimizer moments either
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+        )
         metrics = dict(metrics, skipped=1.0 - scale, grad_ok=scale)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, lr=state.lr

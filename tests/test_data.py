@@ -1,0 +1,100 @@
+"""Data pipeline tests: radius graphs vs dense oracle, topology utilities,
+mapping protocols."""
+import numpy as np
+
+from coarsegrainingvae_tpu.data.neighbors import (
+    make_directed,
+    radius_graph_dense,
+    radius_graph_frames,
+)
+from coarsegrainingvae_tpu.data.topology import (
+    channel_index_from_mapping,
+    cg_graph_from_bonds,
+    check_cg_connected,
+    high_order_edges,
+    max_atoms_per_bead,
+)
+from coarsegrainingvae_tpu.data import mappings
+from coarsegrainingvae_tpu.data.batch import flatten_ids
+import jax.numpy as jnp
+
+
+def test_radius_graph_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    frames = rng.normal(scale=3.0, size=(5, 12, 3)).astype(np.float32)
+    edges, mask = radius_graph_frames(frames, cutoff=4.0, directed=True)
+    for f in range(5):
+        got = {tuple(e) for e in edges[f][mask[f]].tolist()}
+        oracle = radius_graph_dense(frames[f], 4.0, undirected=True)
+        expect = set()
+        for i, j in oracle.tolist():
+            expect.add((i, j))
+            expect.add((j, i))
+        assert got == expect
+
+
+def test_make_directed():
+    und = np.array([[0, 1], [1, 2]])
+    out = make_directed(und)
+    assert out.shape == (4, 2)
+    assert {tuple(r) for r in out.tolist()} == {(0, 1), (1, 0), (1, 2), (2, 1)}
+    # already-directed lists pass through (conv.py:10-20 semantics)
+    already = np.array([[0, 1], [1, 0], [2, 1]])
+    np.testing.assert_array_equal(make_directed(already), already)
+
+
+def test_high_order_edges():
+    # path graph 0-1-2-3; order 2 adds (0,2),(1,3)
+    bonds = np.array([[0, 1], [1, 2], [2, 3]])
+    e2 = {tuple(r) for r in high_order_edges(bonds, 2, 4).tolist()}
+    assert e2 == {(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)}
+
+
+def test_channel_index():
+    mapping = np.array([0, 0, 1, 0, 1, 2])
+    ch = channel_index_from_mapping(mapping)
+    np.testing.assert_array_equal(ch, [0, 1, 0, 2, 1, 0])
+    assert max_atoms_per_bead(mapping) == 3
+
+
+def test_cg_graph_from_bonds():
+    bonds = np.array([[0, 1], [1, 2], [2, 3]])
+    mapping = np.array([0, 0, 1, 1])
+    cg = cg_graph_from_bonds(bonds, mapping, 4, 2)
+    assert {tuple(r) for r in cg.tolist()} == {(0, 1), (1, 0)}
+    assert check_cg_connected(cg, 2)
+
+
+def test_mappings_cover_all_beads():
+    bonds = np.array([[i, i + 1] for i in range(19)])
+    for method in ["random", "seqpartition", "newman", "spectral"]:
+        m = mappings.get_mapping(method, 4, 20, bonds=bonds, seed=3)
+        assert m.shape == (20,)
+        assert set(np.unique(m)) == set(range(4)), method
+        # deterministic under the same seed
+        m2 = mappings.get_mapping(method, 4, 20, bonds=bonds, seed=3)
+        np.testing.assert_array_equal(m, m2)
+
+
+def test_newman_groups_are_contiguous_communities():
+    # two triangles joined by one edge -> 2 communities = the triangles
+    bonds = np.array([[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5], [2, 3]])
+    m = mappings.newman_mapping(bonds, 6, 2)
+    assert m[0] == m[1] == m[2]
+    assert m[3] == m[4] == m[5]
+    assert m[0] != m[3]
+
+
+def test_flatten_ids():
+    local = jnp.asarray(np.array([[[0, 1], [2, 0]], [[1, 1], [0, 2]]]))  # (B=2,E=2,2)
+    out = np.asarray(flatten_ids(local, stride=3))
+    np.testing.assert_array_equal(out, [[0, 1], [2, 0], [4, 4], [3, 5]])
+
+
+def test_backbone_partition():
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(200, 10, 3))
+    bb = np.arange(0, 10, 2)
+    m = mappings.backbone_partition_mapping(frames, bb, 3, seed=1, skip=50)
+    assert m.shape == (10,)
+    assert m.max() < 3

@@ -236,4 +236,18 @@ def get_mapping(
     if method == "spectral":
         assert bonds is not None
         return spectral_mapping(bonds, n_atoms, n_cgs, seed)
+    if method == "cgae":
+        # learned mapping autoencoder (cgae.py + datasets.py:190-249); retry
+        # with fresh seeds until every bead is populated, mirroring the
+        # degeneracy-retry loop at run_ala.py:170-174
+        from coarsegrainingvae_tpu.models.cgae import learn_map
+
+        assert frames is not None
+        for attempt in range(10):
+            mapping = learn_map(frames, n_cgs, seed=seed + attempt)
+            if np.unique(mapping).size == n_cgs:
+                return mapping
+        raise RuntimeError(
+            f"cgae mapping degenerate after 10 attempts (wanted {n_cgs} beads)"
+        )
     raise ValueError(f"mapping method {method!r} not handled here")

@@ -52,25 +52,35 @@ def main() -> None:
         bonds=bonds, order=2, rotate=True,
     )
 
+    from coarsegrainingvae_tpu.data.device import DeviceDataset
+
     model = CGequiVAE(cfg=cfg.model)
     n_dev = 1
     trainer = Trainer(model, cfg, mesh=make_mesh(n_dev))
     batch = ds.batch(np.arange(batch_size))
     state = trainer.init_state(batch, seed=0)
 
+    # device-resident data: per step the host sends only a (B,) index vector
+    dds = DeviceDataset.from_dataset(ds)
+    import jax.numpy as jnp
+
     rng = jax.random.PRNGKey(0)
     # warmup / compile
+    idx0 = jnp.arange(batch_size, dtype=jnp.int32)
     for i in range(3):
-        state, metrics = trainer.train_step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics = trainer._train_step_idx(
+            state, dds, idx0, jax.random.fold_in(rng, i)
+        )
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 50
-    order = np.arange(len(ds))
+    n_steps = 100
     t0 = time.perf_counter()
     for i in range(n_steps):
         lo = (i * batch_size) % (len(ds) - batch_size)
-        b = ds.batch(order[lo : lo + batch_size])
-        state, metrics = trainer.train_step(state, b, jax.random.fold_in(rng, 100 + i))
+        idx = jnp.arange(lo, lo + batch_size, dtype=jnp.int32)
+        state, metrics = trainer._train_step_idx(
+            state, dds, idx, jax.random.fold_in(rng, 100 + i)
+        )
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 

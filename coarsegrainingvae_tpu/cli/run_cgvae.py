@@ -1,0 +1,251 @@
+"""K-fold cross-validated CGequiVAE training driver.
+
+The TPU rebuild of scripts/run_ala.py in /root/reference (CLI surface
+:417-482, run_cv body :75-414): per fold, build the CG mapping (with the
+degeneracy retry of :170-174), preprocess to fixed-shape arrays, train with
+the jitted Trainer (LOWESS-plateau LR + early stop + NaN abort), then run
+test reconstruction + prior-ensemble sampling and append one row to the
+``cv_stats.csv`` contract (:143-154,387-405). Artifacts per fold:
+``train_log.csv``, full-state checkpoints (beyond the reference's final-only
+model.pt), ``modelparams.json``, sampled/true/recon xyz dumps.
+
+Usage:  python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset dipeptide \
+            -n_cgs 3 -ndata 2000 -nepochs 50 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from coarsegrainingvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from coarsegrainingvae_tpu.data.dataset import build_dataset, kfold_indices
+from coarsegrainingvae_tpu.data.mappings import get_mapping
+from coarsegrainingvae_tpu.data.proteins import load_frames
+from coarsegrainingvae_tpu.eval.sampling import reconstruct_all, sample_ensemble
+from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+from coarsegrainingvae_tpu.train.checkpoint import CheckpointManager
+from coarsegrainingvae_tpu.train.trainer import Trainer
+from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
+from coarsegrainingvae_tpu.utils.xyz import write_xyz
+
+CV_STAT_FIELDS = [
+    "fold", "epoch", "train_recon_rmsd", "test_all_recon_rmsd",
+    "test_heavy_recon_rmsd", "recon_all_ged", "recon_heavy_ged",
+    "recon_all_valid_ratio", "recon_heavy_valid_ratio",
+    "sample_all_rmsd", "sample_heavy_rmsd", "sample_all_ged",
+    "sample_heavy_ged", "sample_all_valid_ratio", "sample_heavy_valid_ratio",
+    "KL", "graph", "wall_s",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-logdir", type=str, default="./run")
+    p.add_argument("-n_cgs", type=int, default=3)
+    p.add_argument("-lr", type=float, default=2e-4)
+    p.add_argument("-dataset", type=str, default="dipeptide")
+    p.add_argument("-n_basis", type=int, default=512)
+    p.add_argument("-n_rbf", type=int, default=10)
+    p.add_argument("-activation", type=str, default="swish")
+    p.add_argument("-cg_method", type=str, default="newman")
+    p.add_argument("-atom_cutoff", type=float, default=8.5)
+    p.add_argument("-cg_cutoff", type=float, default=9.5)
+    p.add_argument("-enc_nconv", type=int, default=4)
+    p.add_argument("-dec_nconv", type=int, default=4)
+    p.add_argument("-batch_size", type=int, default=32)
+    p.add_argument("-nepochs", type=int, default=2)
+    p.add_argument("-ndata", type=int, default=200)
+    p.add_argument("-n_ensemble", type=int, default=16)
+    p.add_argument("-nevals", type=int, default=36)
+    p.add_argument("-edgeorder", type=int, default=2)
+    p.add_argument("-beta", type=float, default=0.001)
+    p.add_argument("-gamma", type=float, default=0.01)
+    p.add_argument("-nsplits", type=int, default=5)
+    p.add_argument("-patience", type=int, default=15)
+    p.add_argument("-factor", type=float, default=0.6)
+    p.add_argument("-mapshuffle", type=float, default=0.0)
+    p.add_argument("-seed", type=int, default=123)
+    p.add_argument("-checkpoint_every", type=int, default=0)
+    p.add_argument("--dec_type", type=str, default="cross",
+                   choices=["pseudo", "cross", "painn", "en", "inv"])
+    p.add_argument("--graph_eval", action="store_true", default=False)
+    p.add_argument("--det", action="store_true", default=False)
+    p.add_argument("--invariantdec", action="store_true", default=False)
+    p.add_argument("--reflectiontest", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False)
+    return p
+
+
+def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
+    dec_type = "inv" if a.invariantdec else a.dec_type
+    return ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=a.n_cgs, n_basis=a.n_basis, n_rbf=a.n_rbf,
+            atom_cutoff=a.atom_cutoff, cg_cutoff=a.cg_cutoff,
+            enc_nconv=a.enc_nconv, dec_nconv=a.dec_nconv,
+            activation=a.activation, dec_type=dec_type,
+            breaksym=(a.n_cgs == 3),  # run_ala.py:192-197
+            det=a.det,
+        ),
+        data=DataConfig(
+            dataset=a.dataset, ndata=a.ndata, batch_size=a.batch_size,
+            cg_method=a.cg_method, edgeorder=a.edgeorder, nsplits=a.nsplits,
+            mapshuffle=a.mapshuffle, seed=a.seed,
+        ),
+        train=TrainConfig(
+            nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
+            patience=a.patience, lr_factor=a.factor,
+            checkpoint_every=a.checkpoint_every,
+        ),
+        logdir=a.logdir,
+    )
+
+
+def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
+    """Mapping with the degeneracy retry loop (run_ala.py:170-174)."""
+    n_atoms = z.shape[0]
+    for attempt in range(20):
+        mapping = get_mapping(
+            cfg.data.cg_method, cfg.model.n_cgs, n_atoms, bonds=bonds,
+            frames=frames, mapshuffle=cfg.data.mapshuffle,
+            seed=seed + attempt,
+        )
+        if np.unique(mapping).size == cfg.model.n_cgs:
+            return mapping
+    raise RuntimeError("could not build a non-degenerate CG mapping")
+
+
+def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
+           graph_eval: bool = False, reflection: bool = False,
+           resume: bool = False) -> list:
+    """The main CV loop (run_cv, run_ala.py:75-414). Returns cv rows."""
+    os.makedirs(cfg.logdir, exist_ok=True)
+    cfg.save(os.path.join(cfg.logdir, "modelparams.json"))
+
+    z, frames, bonds = load_frames(cfg.data.dataset, cfg.data.ndata,
+                                   seed=cfg.data.seed)
+    folds = kfold_indices(frames.shape[0], cfg.data.nsplits, cfg.data.seed)
+    cv_logger = CSVLogger(os.path.join(cfg.logdir, "cv_stats.csv"),
+                          CV_STAT_FIELDS)
+    rows = []
+
+    for fold, (train_idx, test_idx) in enumerate(folds):
+        t0 = time.time()
+        split_dir = os.path.join(cfg.logdir, f"fold{fold}")
+        os.makedirs(split_dir, exist_ok=True)
+
+        mapping = build_fold_mapping(
+            cfg, z, frames[train_idx], bonds, seed=cfg.data.seed + fold
+        )
+        with open(os.path.join(split_dir, "mapping.json"), "w") as f:
+            json.dump([int(x) for x in mapping], f)
+
+        ds_train_full = build_dataset(
+            mapping, frames[train_idx], cfg.model.atom_cutoff,
+            cfg.model.cg_cutoff, z, bonds, order=cfg.data.edgeorder,
+            seed=cfg.data.seed,
+        )
+        ds_test = build_dataset(
+            mapping, frames[test_idx], cfg.model.atom_cutoff,
+            cfg.model.cg_cutoff, z, bonds, order=cfg.data.edgeorder,
+            seed=cfg.data.seed, rotate=False,
+            max_atom_edges=ds_train_full.nbrs.shape[1],
+            max_cg_edges=ds_train_full.cg_nbrs.shape[1],
+        )
+        n_val = max(int(len(ds_train_full) * cfg.data.val_frac), 1)
+        ds_val = ds_train_full.subset(np.arange(n_val))
+        ds_tr = ds_train_full.subset(np.arange(n_val, len(ds_train_full)))
+
+        model = CGequiVAE(cfg=cfg.model)
+        trainer = Trainer(model, cfg)
+        state = trainer.init_state(
+            ds_tr.batch(np.arange(min(cfg.data.batch_size, len(ds_tr)))),
+            seed=cfg.data.seed,
+        )
+        ckpt = CheckpointManager(os.path.join(split_dir, "ckpt"))
+        train_logger = CSVLogger(os.path.join(split_dir, "train_log.csv"))
+        state, history = trainer.fit(
+            state, ds_tr, ds_val, log_fn=train_logger.log, ckpt=ckpt,
+            resume=resume,
+        )
+        if not history or not np.isfinite(history[-1]["val_recon"]):
+            with open(os.path.join(split_dir, "FAILED.txt"), "w") as f:
+                f.write("NaN loss or empty history\n")  # run_ala.py:410-412
+            continue
+
+        rng = jax.random.PRNGKey(cfg.data.seed + 777)
+        recon = reconstruct_all(
+            trainer, state.params, ds_test, rng,
+            batch_size=cfg.data.batch_size, graph_eval=graph_eval,
+            reflection=reflection,
+        )
+        eval_frames = np.linspace(
+            0, len(ds_test) - 1, min(nevals, len(ds_test))
+        ).astype(int)
+        samples = sample_ensemble(
+            trainer, state.params, ds_test, eval_frames, n_ensemble,
+            jax.random.fold_in(rng, 5), graph_eval=graph_eval,
+            reflection=reflection,
+        )
+
+        write_xyz(os.path.join(split_dir, "test_recon.xyz"),
+                  recon["recon_xyzs"][:64], z)
+        write_xyz(os.path.join(split_dir, "test_samples.xyz"),
+                  samples["sample_xyzs"].reshape(-1, z.shape[0], 3)[:128], z)
+
+        def _rmsd_mean(v):
+            return float(np.mean(v)) if v is not None and len(np.atleast_1d(v)) else float("nan")
+
+        row = {
+            "fold": fold,
+            "epoch": history[-1]["epoch"],
+            "train_recon_rmsd": history[-1]["train_recon"] ** 0.5,
+            "test_all_recon_rmsd": recon["all_atom_rmsd"],
+            "test_heavy_recon_rmsd": recon["heavy_atom_rmsd"],
+            "recon_all_ged": recon.get("all_ged", float("nan")),
+            "recon_heavy_ged": recon.get("heavy_ged", float("nan")),
+            "recon_all_valid_ratio": recon.get("all_valid_ratio", float("nan")),
+            "recon_heavy_valid_ratio": recon.get("heavy_valid_ratio", float("nan")),
+            "sample_all_rmsd": _rmsd_mean(samples.get("all_rmsds")),
+            "sample_heavy_rmsd": _rmsd_mean(samples.get("heavy_rmsds")),
+            "sample_all_ged": samples.get("sample_graph_allatom_val_ratio", float("nan")),
+            "sample_heavy_ged": samples.get("sample_graph_val_ratio", float("nan")),
+            "sample_all_valid_ratio": samples.get("sample_allatom_valid", float("nan")),
+            "sample_heavy_valid_ratio": samples.get("sample_valid", float("nan")),
+            "KL": history[-1]["val_KL"],
+            "graph": history[-1]["val_graph"],
+            "wall_s": time.time() - t0,
+        }
+        cv_logger.log(row)
+        rows.append(row)
+    return rows
+
+
+def main(argv=None) -> list:
+    args = build_parser().parse_args(argv)
+    cfg = params_to_config(args)
+    task = "recon" if args.det else "sample"
+    cfg = ExperimentConfig(
+        model=cfg.model, data=cfg.data, train=cfg.train, parallel=cfg.parallel,
+        logdir=annotate_job(f"{args.cg_method}_{task}_ndata{args.ndata}",
+                            args.logdir, args.n_cgs),
+    )
+    return run_cv(
+        cfg, n_ensemble=args.n_ensemble, nevals=args.nevals,
+        graph_eval=args.graph_eval, reflection=args.reflectiontest,
+        resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""DiffPoolVAE training driver (scripts/run_diffpool.py in /root/reference).
+
+Workflow (:258-517): load frames -> dense padded dataset -> optional
+pretrain of the learned assignment toward the Newman mapping
+(cg_method='diff', :396-408) -> train with the exponential gumbel tau
+schedule -> test-set sampling stats + assignment dump.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from coarsegrainingvae_tpu.config import DiffPoolConfig
+from coarsegrainingvae_tpu.data.dataset import kfold_indices
+from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+from coarsegrainingvae_tpu.data.mappings import newman_mapping
+from coarsegrainingvae_tpu.data.proteins import load_frames
+from coarsegrainingvae_tpu.train.diffpool_trainer import DiffPoolTrainer
+from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-logdir", type=str, default="./run_diffpool")
+    p.add_argument("-dataset", type=str, default="dipeptide")
+    p.add_argument("-n_cgs", type=int, default=3)
+    p.add_argument("-num_features", type=int, default=512)
+    p.add_argument("-n_rbf", type=int, default=7)
+    p.add_argument("-cutoff", type=float, default=8.0)
+    p.add_argument("-cg_cutoff", type=float, default=30.0)
+    p.add_argument("-nconv_pool", type=int, default=1)
+    p.add_argument("-enc_nconv", type=int, default=2)
+    p.add_argument("-dec_nconv", type=int, default=3)
+    p.add_argument("-activation", type=str, default="swish")
+    p.add_argument("-batch_size", type=int, default=32)
+    p.add_argument("-nepochs", type=int, default=2)
+    p.add_argument("-ndata", type=int, default=200)
+    p.add_argument("-lr", type=float, default=1e-4)
+    p.add_argument("-beta", type=float, default=0.05)
+    p.add_argument("-gamma", type=float, default=0.0)
+    p.add_argument("-tau_0", type=float, default=2.0)
+    p.add_argument("-tau_min", type=float, default=0.3)
+    p.add_argument("-tau_rate", type=float, default=0.004)
+    p.add_argument("-n_pretrain", type=int, default=0)
+    p.add_argument("-nsplits", type=int, default=2)
+    p.add_argument("-patience", type=int, default=20)
+    p.add_argument("-seed", type=int, default=123)
+    p.add_argument("-cg_method", type=str, default="diff",
+                   choices=["diff", "newman"])
+    p.add_argument("--det", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    logdir = annotate_job(f"diffpool_{a.cg_method}_ndata{a.ndata}",
+                          a.logdir, a.n_cgs)
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "modelparams.json"), "w") as f:
+        json.dump(vars(a), f, indent=2)
+
+    z, frames, bonds = load_frames(a.dataset, a.ndata, seed=a.seed)
+    n_atoms = z.shape[0]
+    cfg = DiffPoolConfig(
+        n_atoms=n_atoms, n_cgs=a.n_cgs, feat_dim=a.num_features,
+        n_rbf=a.n_rbf, atom_cutoff=a.cutoff, cg_cutoff=a.cg_cutoff,
+        pool_nconv=a.nconv_pool, enc_nconv=a.enc_nconv,
+        dec_nconv=a.dec_nconv, activation=a.activation, det=a.det,
+        tau_0=a.tau_0, tau_min=a.tau_min, tau_rate=a.tau_rate,
+        trainable_map=(a.cg_method == "diff"),
+    )
+    target = newman_mapping(bonds, n_atoms, a.n_cgs, seed=a.seed)
+    assign_idx = tuple(int(x) for x in target) if a.cg_method == "newman" else None
+
+    all_rows = []
+    for fold, (train_idx, test_idx) in enumerate(
+        kfold_indices(frames.shape[0], a.nsplits, a.seed)
+    ):
+        split_dir = os.path.join(logdir, f"fold{fold}")
+        os.makedirs(split_dir, exist_ok=True)
+        ds_train = build_diffpool_dataset(frames[train_idx], z, bonds,
+                                          rotate=True, seed=a.seed)
+        ds_test = build_diffpool_dataset(frames[test_idx], z, bonds)
+        n_val = max(int(len(ds_train) * 0.1), 1)
+        ds_val, ds_tr = (ds_train.subset(np.arange(n_val)),
+                         ds_train.subset(np.arange(n_val, len(ds_train))))
+
+        trainer = DiffPoolTrainer(
+            cfg, beta=a.beta, gamma=a.gamma, lr=a.lr,
+            assign_idx=assign_idx, seed=a.seed,
+        )
+        state = trainer.init_state(
+            ds_tr.batch(np.arange(min(a.batch_size, len(ds_tr))))
+        )
+        if a.n_pretrain > 0 and a.cg_method == "diff":
+            state, ploss = trainer.pretrain(
+                state, ds_tr, target, a.n_pretrain, a.batch_size
+            )
+            print(f"fold {fold}: pretrain loss {ploss:.5f}")
+
+        logger = CSVLogger(os.path.join(split_dir, "train_log.csv"))
+        state, hist = trainer.fit(
+            state, ds_tr, ds_val, a.nepochs, a.batch_size,
+            patience=a.patience, log_fn=logger.log,
+        )
+        if not hist:
+            continue
+
+        # test-set metrics + a prior sample dump
+        _, test_m = trainer.run_epoch(
+            state, ds_test, jax.random.PRNGKey(a.seed + 99), a.batch_size,
+            train=False,
+        )
+        xs = trainer.sample(
+            state.params, ds_test.batch(np.arange(min(8, len(ds_test)))),
+            jax.random.PRNGKey(a.seed),
+        )
+        np.save(os.path.join(split_dir, "test_samples.npy"),
+                np.asarray(jax.device_get(xs)))
+        row = {"fold": fold, **{f"test_{k}": v for k, v in test_m.items()}}
+        all_rows.append(row)
+        CSVLogger(os.path.join(logdir, "cv_stats.csv")).log(row)
+    return all_rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""PCN protein-backmapping driver (scripts/run_pdb.py in /root/reference).
+
+Workflow (:232-489): load proteins (SidechainNet pickles / npz / synthetic
+stand-ins) -> padded PCN dataset -> train with the dihedral-augmented loss
+(pcn_utils.py:185-193) -> per-protein test metrics (RMSD, dRMSD, GED,
+bond-length deviation, inference time) to ``test_results.csv`` + PDB dumps
+(save_selected_recon, run_pdb.py:33-75).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import jax
+import numpy as np
+
+from coarsegrainingvae_tpu.config import ModelConfig
+from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
+from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+from coarsegrainingvae_tpu.eval.metrics import bond_graphs_batch, graph_diff_ratio
+from coarsegrainingvae_tpu.models.cgvae import PCN
+from coarsegrainingvae_tpu.ops.geometry import drmsd
+from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
+from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
+from coarsegrainingvae_tpu.utils.pdb import write_pdb
+
+
+def load_protein_items(path: str, n: int, seed: int):
+    """Items = (seq, crd) tuples. Resolution: a pickle of
+    {'seq': [...], 'crd': [...]} (the generate_pkl.py cache format) ->
+    synthetic stand-ins."""
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return list(zip(d["seq"], d["crd"]))[:n]
+    rng = np.random.default_rng(seed)
+    return [
+        synthetic_protein(int(rng.integers(6, 14)), seed=seed + i)
+        for i in range(n)
+    ]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-logdir", type=str, default="./run_pcn")
+    p.add_argument("-data_pkl", type=str, default="")
+    p.add_argument("-ndata", type=int, default=64)
+    p.add_argument("-n_basis", type=int, default=256)
+    p.add_argument("-n_rbf", type=int, default=10)
+    p.add_argument("-cutoff", type=float, default=10.0)
+    p.add_argument("-dec_nconv", type=int, default=4)
+    p.add_argument("-activation", type=str, default="swish")
+    p.add_argument("-batch_size", type=int, default=4)
+    p.add_argument("-nepochs", type=int, default=3)
+    p.add_argument("-lr", type=float, default=1e-4)
+    p.add_argument("-gamma", type=float, default=25.0)
+    p.add_argument("-kappa", type=float, default=1.0)
+    p.add_argument("-seed", type=int, default=123)
+    p.add_argument("-n_dump", type=int, default=4)
+    return p
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    logdir = annotate_job(f"pcn_ndata{a.ndata}", a.logdir, 0)
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "modelparams.json"), "w") as f:
+        json.dump(vars(a), f, indent=2)
+
+    items = load_protein_items(a.data_pkl, a.ndata, a.seed)
+    ds = build_pcn_dataset(items, cg_cutoff=a.cutoff)
+    n = len(ds)
+    n_test = max(n // 5, 1)
+    n_val = max((n - n_test) // 10, 1)
+    ds_test = ds.subset(np.arange(n_test))
+    ds_val = ds.subset(np.arange(n_test, n_test + n_val))
+    ds_tr = ds.subset(np.arange(n_test + n_val, n))
+
+    cfg = ModelConfig(n_basis=a.n_basis, n_rbf=a.n_rbf, atom_cutoff=a.cutoff,
+                      dec_nconv=a.dec_nconv, activation=a.activation)
+    model = PCN(cfg=cfg)
+    trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
+                         seed=a.seed)
+    batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
+    state = trainer.init_state(batch, ca_mask)
+
+    logger = CSVLogger(os.path.join(logdir, "train_log.csv"))
+    state, hist = trainer.fit(
+        state, ds_tr, ds_val, a.nepochs, a.batch_size, log_fn=logger.log
+    )
+
+    # per-protein test metrics (run_pdb.py:33-75)
+    results = CSVLogger(os.path.join(logdir, "test_results.csv"))
+    rows = []
+    for i in range(len(ds_test)):
+        idx = np.array([i])
+        b = ds_test.batch(np.repeat(idx, min(a.batch_size, 1)))
+        cam = ds_test.ca_mask_for(idx)
+        t0 = time.time()
+        recon = np.asarray(
+            jax.device_get(trainer.reconstruct(state.params, b, cam))
+        ).reshape(b.z.shape[0], b.z.shape[1], 3)[0]
+        infer_s = time.time() - t0
+        mask = np.asarray(b.atom_mask[0])
+        true = np.asarray(b.xyz[0])
+        z = np.asarray(b.z[0])
+        rmsd = float(np.sqrt(((recon - true) ** 2).sum(-1)[mask].mean()))
+        dr = float(drmsd(recon[mask], true[mask]))
+        g_true = bond_graphs_batch(true[None, mask], z[mask])[0]
+        g_rec = bond_graphs_batch(recon[None, mask], z[mask])
+        ged = float(graph_diff_ratio(g_true, g_rec)[0])
+        row = {"protein": i, "seq_len": len(ds_test.seqs[i]), "rmsd": rmsd,
+               "drmsd": dr, "ged": ged, "inference_s": infer_s}
+        rows.append(row)
+        results.log(row)
+        if i < a.n_dump:
+            write_pdb(
+                os.path.join(logdir, f"recon_{i}.pdb"), ds_test.seqs[i],
+                recon[mask], np.asarray(b.mapping[0])[mask],
+                np.asarray(b.channel_idx[0])[mask],
+            )
+    return rows
+
+
+if __name__ == "__main__":
+    main()

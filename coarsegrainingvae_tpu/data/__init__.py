@@ -12,3 +12,17 @@ from coarsegrainingvae_tpu.data.topology import (
 from coarsegrainingvae_tpu.data.dataset import CGDatasetArrays, build_dataset, kfold_indices
 from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
 from coarsegrainingvae_tpu.data import mappings as mappings
+from coarsegrainingvae_tpu.data.diffpool import (
+    DiffPoolBatch,
+    DiffPoolDatasetArrays,
+    build_diffpool_dataset,
+)
+from coarsegrainingvae_tpu.data.proteins import PROTEINFILES, load_frames, load_npz_traj, save_npz_traj
+from coarsegrainingvae_tpu.data.sidechain import (
+    ATOM_MAP_14,
+    RES2IDX,
+    THREE_LETTER_TO_ONE,
+    build_pcn_dataset,
+    protein_props,
+)
+from coarsegrainingvae_tpu.data.synthetic import synthetic_protein

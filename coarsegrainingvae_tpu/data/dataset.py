@@ -91,14 +91,42 @@ class CGDatasetArrays:
         order = np.arange(len(self))
         if rng is not None:
             rng.shuffle(order)
-        stop = len(self) - batch_size + 1 if drop_last else len(self)
-        for lo in range(0, max(stop, 0), batch_size):
+        # always yield at least one (padded) batch, even when the
+        # split is smaller than batch_size
+        stop = max(len(self) - batch_size + 1, 1) if drop_last else len(self)
+        for lo in range(0, stop, batch_size):
             idx = order[lo : lo + batch_size]
             if idx.shape[0] < batch_size:
-                # pad by repeating (masked semantics unchanged: these are
+                # pad by cycling (masked semantics unchanged: these are
                 # full frames, they just re-enter the epoch average)
-                idx = np.concatenate([idx, order[: batch_size - idx.shape[0]]])
+                idx = np.resize(np.concatenate([idx, order]), batch_size)
             yield self.batch(idx)
+
+
+def rotate_frames(traj: np.ndarray, seed: int = 123) -> np.ndarray:
+    """Per-frame random rotation augmentation about the frame centroid
+    (reference random_rotation, datasets.py:65-71, applied at :475)."""
+    traj = np.asarray(traj, dtype=np.float32)
+    f = traj.shape[0]
+    rng = np.random.default_rng(seed)
+    vec = rng.normal(size=(f, 3))
+    axis = vec / np.linalg.norm(vec, axis=-1, keepdims=True)
+    angle = np.deg2rad(rng.integers(-180, 180, size=f).astype(np.float64))
+    c, s = np.cos(angle), np.sin(angle)
+    C = 1.0 - c
+    x, y, z_ = axis[:, 0], axis[:, 1], axis[:, 2]
+    rot = np.stack(
+        [
+            np.stack([c + x * x * C, x * y * C - z_ * s, x * z_ * C + y * s], -1),
+            np.stack([y * x * C + z_ * s, c + y * y * C, y * z_ * C - x * s], -1),
+            np.stack([z_ * x * C - y * s, z_ * y * C + x * s, c + z_ * z_ * C], -1),
+        ],
+        axis=-2,
+    )
+    center = traj.mean(axis=1, keepdims=True)
+    return np.einsum(
+        "fni,fij->fnj", traj - center, np.swapaxes(rot, -1, -2)
+    ).astype(np.float32) + center.astype(np.float32)
 
 
 def _segment_mean_np(x: np.ndarray, seg: np.ndarray, m: int) -> np.ndarray:
@@ -140,25 +168,7 @@ def build_dataset(
     n_cgs = int(mapping.max()) + 1
 
     if rotate:
-        rng = np.random.default_rng(seed)
-        vec = rng.normal(size=(f, 3))
-        axis = vec / np.linalg.norm(vec, axis=-1, keepdims=True)
-        angle = np.deg2rad(rng.integers(-180, 180, size=f).astype(np.float64))
-        c, s = np.cos(angle), np.sin(angle)
-        C = 1.0 - c
-        x, y, z_ = axis[:, 0], axis[:, 1], axis[:, 2]
-        rot = np.stack(
-            [
-                np.stack([c + x * x * C, x * y * C - z_ * s, x * z_ * C + y * s], -1),
-                np.stack([y * x * C + z_ * s, c + y * y * C, y * z_ * C - x * s], -1),
-                np.stack([z_ * x * C - y * s, z_ * y * C + x * s, c + z_ * z_ * C], -1),
-            ],
-            axis=-2,
-        )
-        center = traj.mean(axis=1, keepdims=True)
-        traj = np.einsum("fni,fij->fnj", traj - center, np.swapaxes(rot, -1, -2)).astype(
-            np.float32
-        ) + center.astype(np.float32)
+        traj = rotate_frames(traj, seed)
 
     if cg_traj is not None:
         cg_xyz = np.asarray(cg_traj, dtype=np.float32)

@@ -135,3 +135,58 @@ def synthetic_peptide(
         frames[f] = xyz - xyz.mean(axis=0, keepdims=True)
 
     return z, frames, bonds
+
+
+def synthetic_protein(
+    n_res: int, seed: int = 0, missing_frac: float = 0.0
+) -> Tuple[str, np.ndarray]:
+    """Random protein in the atom14 layout for testing the PCN path without
+    SidechainNet: (seq, crd (n_res, 14, 3)).
+
+    The backbone follows a smooth random-walk C-alpha trace (3.8 A spacing);
+    backbone/sidechain atoms are placed at covalent-scale offsets around
+    their C-alpha so the covalent-radius bond graph is well formed.
+    missing_frac randomly zeroes sidechain atoms (SidechainNet items have
+    missing coordinates; zero rows mean 'absent').
+    """
+    from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14, AMINO_ACIDS
+
+    rng = np.random.default_rng(seed)
+    seq = "".join(rng.choice(list(AMINO_ACIDS), size=n_res))
+
+    # smooth C-alpha random walk, offset from the origin (a zero coordinate
+    # row means 'missing atom' in the atom14 convention)
+    ca = np.full((n_res, 3), 10.0)
+    d = np.array([1.0, 0.0, 0.0])
+    for i in range(1, n_res):
+        d = d + 0.5 * rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        ca[i] = ca[i - 1] + 3.8 * d
+
+    crd = np.zeros((n_res, 14, 3), np.float32)
+    for i, aa in enumerate(seq):
+        names = ATOM_MAP_14[aa]
+        # backbone frame along the chain
+        fwd = (ca[min(i + 1, n_res - 1)] - ca[max(i - 1, 0)])
+        fwd /= np.linalg.norm(fwd) + 1e-9
+        side = np.cross(fwd, [0.0, 0.0, 1.0])
+        side /= np.linalg.norm(side) + 1e-9
+        upv = np.cross(fwd, side)
+        crd[i, 1] = ca[i]
+        crd[i, 0] = ca[i] - 1.46 * fwd + 0.2 * upv            # N
+        crd[i, 2] = ca[i] + 1.52 * fwd + 0.2 * upv            # C
+        crd[i, 3] = crd[i, 2] + 1.23 * upv                    # O
+        # sidechain chain growing off CA
+        prev = ca[i]
+        grow = side + 0.3 * rng.normal(size=3)
+        grow /= np.linalg.norm(grow)
+        for slot in range(4, 14):
+            if not names[slot]:
+                break
+            prev = prev + 1.5 * grow
+            crd[i, slot] = prev
+            grow = grow + 0.4 * rng.normal(size=3)
+            grow /= np.linalg.norm(grow)
+            if missing_frac > 0 and rng.random() < missing_frac:
+                crd[i, slot] = 0.0
+    return seq, crd

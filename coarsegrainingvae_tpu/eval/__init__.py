@@ -7,3 +7,10 @@ from coarsegrainingvae_tpu.eval.metrics import (
     valid_ratio,
 )
 from coarsegrainingvae_tpu.eval.sampling import sample_ensemble, reconstruct_all
+from coarsegrainingvae_tpu.eval.analysis import (
+    get_cv_stats,
+    kde_free_energy,
+    pairwise_distance_features,
+    ramachandran,
+    tica,
+)

@@ -20,3 +20,24 @@ from coarsegrainingvae_tpu.models.cgvae import (
     PCN,
     build_cgequivae,
 )
+from coarsegrainingvae_tpu.models.cgae import CGaeParams, cgae_forward, gumbel_softmax, learn_map
+from coarsegrainingvae_tpu.models.dense import (
+    DenseCGPrior,
+    DenseContract,
+    DenseEquiEncoder,
+    DenseEquiMessageBlock,
+    DenseEquivariantDecoder,
+    DenseInvariantMessage,
+    DenseUpdateBlock,
+)
+from coarsegrainingvae_tpu.models.diffpool import CGpool, DiffPoolVAE, tau_schedule
+from coarsegrainingvae_tpu.models.baseline import (
+    BASELINE_ZOO,
+    EdgeSetMLP,
+    EquiLinear,
+    EquiMLP,
+    LinearBaseline,
+    MLPBaseline,
+    SetEquiMLP,
+    build_baseline,
+)

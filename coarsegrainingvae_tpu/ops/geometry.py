@@ -71,3 +71,46 @@ def unaligned_rmsd(x: jnp.ndarray, y: jnp.ndarray, mask=None) -> jnp.ndarray:
         m = mask.astype(sq.dtype)
         return jnp.sqrt(jnp.sum(sq * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0))
     return jnp.sqrt(jnp.mean(sq, axis=-1))
+
+
+def dihedral(xyz: jnp.ndarray, quads: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Signed dihedral angles (radians) for (Q, 4) atom-index quads.
+
+    Proper atan2 formulation. The reference's compute_dihe
+    (pcn_utils.py:114-132) uses arctan(p1/p2), which loses the quadrant and
+    blows up near p2=0 (and its in-package geometry.py is self-described
+    'this is wrong', geometry.py:8); this is the deliberate fix -- the loss
+    compares angles consistently either way.
+    """
+    p0 = jnp.take(xyz, quads[:, 0], axis=0)
+    p1 = jnp.take(xyz, quads[:, 1], axis=0)
+    p2 = jnp.take(xyz, quads[:, 2], axis=0)
+    p3 = jnp.take(xyz, quads[:, 3], axis=0)
+    b1 = p1 - p0
+    b2 = p2 - p1
+    b3 = p3 - p2
+    c1 = jnp.cross(b2, b3)
+    c2 = jnp.cross(b1, b2)
+    b2n = jnp.sqrt(jnp.sum(b2**2, -1) + eps)
+    y = jnp.sum(b1 * c1, -1) * b2n
+    x = jnp.sum(c1 * c2, -1)
+    return jnp.arctan2(y, x + eps)
+
+
+def drmsd(
+    x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Distance-matrix RMSD over all atom pairs (run_pdb.py:20-31).
+
+    x, y: (N, 3); mask: (N,) bool. sqrt(mean_{i<j} (d_ij(x) - d_ij(y))^2).
+    """
+    dx = jnp.sqrt(jnp.sum((x[:, None] - x[None]) ** 2, -1) + 1e-12)
+    dy = jnp.sqrt(jnp.sum((y[:, None] - y[None]) ** 2, -1) + 1e-12)
+    n = x.shape[0]
+    triu = jnp.triu(jnp.ones((n, n), bool), k=1)
+    if mask is not None:
+        pm = mask[:, None] & mask[None, :]
+        triu = triu & pm
+    sq = (dx - dy) ** 2
+    w = triu.astype(sq.dtype)
+    return jnp.sqrt(jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.0))

@@ -71,6 +71,18 @@ class EarlyStopping:
             if self.counter >= self.patience:
                 self.early_stop = True
 
+    def save_state(self) -> dict:
+        return {
+            "counter": self.counter,
+            "best_loss": self.best_loss,
+            "early_stop": self.early_stop,
+        }
+
+    def load_state(self, s: dict) -> None:
+        self.counter = s.get("counter", 0)
+        self.best_loss = s.get("best_loss")
+        self.early_stop = s.get("early_stop", False)
+
 
 class LowessPlateauController:
     """ReduceLROnPlateau driven by the LOWESS-smoothed val curve
@@ -119,3 +131,17 @@ class LowessPlateauController:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.num_bad = 0
         return smoothed
+
+    def save_state(self) -> dict:
+        return {
+            "lr": self.lr,
+            "history": self.history,
+            "best": self.best,
+            "num_bad": self.num_bad,
+        }
+
+    def load_state(self, s: dict) -> None:
+        self.lr = s.get("lr", self.lr)
+        self.history = list(s.get("history", []))
+        self.best = s.get("best")
+        self.num_bad = s.get("num_bad", 0)

@@ -1,0 +1,290 @@
+"""Jitted training for DiffPoolVAE (run_diffpool.py in /root/reference).
+
+Loss surface (run_diffpool.py:186-210, live path):
+    total = reg + recon + beta * KL
+with
+    reg     = mean_i |x_i - (M cg_xyz)_i|^2   (atoms near their soft bead)
+    recon   = coordinate MSE
+    KL      = posterior vs conditional prior
+The driver also *tracks* (but does not optimize) graph / adjacency /
+entropy terms; we compute them all as metrics. The gumbel temperature
+follows the exponential schedule tau(iter) (run_diffpool.py:357-358),
+driven by the global iteration counter. Pretraining regresses the soft
+assignment onto a target (newman) mapping (run_diffpool.py:115-150).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from coarsegrainingvae_tpu.config import DiffPoolConfig
+from coarsegrainingvae_tpu.data.diffpool import DiffPoolBatch, DiffPoolDatasetArrays
+from coarsegrainingvae_tpu.models.diffpool import DiffPoolOutput, DiffPoolVAE, tau_schedule
+from coarsegrainingvae_tpu.train.controller import EarlyStopping, LowessPlateauController
+from coarsegrainingvae_tpu.train.losses import kl_divergence
+
+Array = jnp.ndarray
+EPS = 1e-3
+
+
+@struct.dataclass
+class DiffPoolTrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray   # global iteration (drives the tau schedule)
+    lr: jnp.ndarray
+
+
+def diffpool_loss(
+    out: DiffPoolOutput, bonds: Array, beta: float, gamma: float
+) -> Tuple[Array, Dict[str, Array]]:
+    xyz, xr, m = out.xyz, out.xyz_recon, out.assign
+
+    anchor = jnp.einsum("bkd,bnk->bnd", out.cg_xyz, m)
+    loss_reg = jnp.mean(jnp.sum((anchor - xyz) ** 2, axis=-1))
+    loss_recon = jnp.mean((xr - xyz) ** 2)
+    loss_kl = kl_divergence(
+        out.mu.reshape(-1, out.mu.shape[-1]),
+        out.sigma.reshape(-1, out.sigma.shape[-1]),
+        out.prior_mu.reshape(-1, out.prior_mu.shape[-1]),
+        out.prior_sigma.reshape(-1, out.prior_sigma.shape[-1]),
+    )
+    loss_entropy = -jnp.mean(jnp.sum(m * jnp.log(m + 1e-12), axis=-1))
+
+    gen_d = jnp.sqrt(
+        jnp.sum((xr[:, bonds[:, 0]] - xr[:, bonds[:, 1]]) ** 2, -1) + EPS
+    )
+    dat_d = jnp.sqrt(
+        jnp.sum((xyz[:, bonds[:, 0]] - xyz[:, bonds[:, 1]]) ** 2, -1) + EPS
+    )
+    loss_graph = jnp.mean((gen_d - dat_d) ** 2)
+
+    total = loss_reg + loss_recon + beta * loss_kl
+    tracked = loss_recon + gamma * loss_graph + beta * loss_kl
+    return total, {
+        "loss": tracked,
+        "recon": loss_recon,
+        "reg": loss_reg,
+        "kl": loss_kl,
+        "graph": loss_graph,
+        "entropy": loss_entropy,
+    }
+
+
+class DiffPoolTrainer:
+    def __init__(
+        self,
+        cfg: DiffPoolConfig,
+        beta: float = 0.05,
+        gamma: float = 0.0,
+        lr: float = 1e-4,
+        assign_idx: Optional[tuple] = None,
+        seed: int = 123,
+    ):
+        self.cfg = cfg
+        self.beta = beta
+        self.gamma = gamma
+        self.base_lr = lr
+        self.seed = seed
+        self.model = DiffPoolVAE(cfg=cfg, assign_idx=assign_idx)
+        self.tx = optax.scale_by_adam()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._pretrain_step = jax.jit(self._pretrain_step_impl, donate_argnums=(0,))
+        self._sample = jax.jit(self._sample_impl)
+
+    def _tau(self, step: Array) -> Array:
+        c = self.cfg
+        return tau_schedule(step, c.tau_0, c.tau_min, c.tau_rate)
+
+    def init_state(self, batch: DiffPoolBatch) -> DiffPoolTrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        params = self.model.init(
+            {"params": rng, "gumbel": jax.random.fold_in(rng, 1),
+             "sample": jax.random.fold_in(rng, 2)},
+            jnp.asarray(batch.z), jnp.asarray(batch.xyz),
+            jnp.asarray(batch.adj), jnp.asarray(self.cfg.tau_0),
+        )["params"]
+        return DiffPoolTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.base_lr, jnp.float32),
+        )
+
+    def _apply(self, params, batch: DiffPoolBatch, rng, tau) -> DiffPoolOutput:
+        return self.model.apply(
+            {"params": params},
+            jnp.asarray(batch.z), jnp.asarray(batch.xyz), jnp.asarray(batch.adj),
+            tau,
+            rngs={"gumbel": rng, "sample": jax.random.fold_in(rng, 7)},
+        )
+
+    def _train_step_impl(self, state: DiffPoolTrainState, batch, rng):
+        tau = self._tau(state.step)
+
+        def loss_fn(p):
+            out = self._apply(p, batch, rng, tau)
+            return diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        ok = jnp.isfinite(metrics["loss"])
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state
+        )
+        metrics = dict(metrics, tau=tau)
+        return (
+            DiffPoolTrainState(
+                params=params, opt_state=opt_state, step=state.step + 1, lr=state.lr
+            ),
+            metrics,
+        )
+
+    def _eval_step_impl(self, params, batch, rng, step):
+        out = self._apply(params, batch, rng, self._tau(step))
+        _, metrics = diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma)
+        return metrics
+
+    def _pretrain_step_impl(self, state: DiffPoolTrainState, batch, rng, target):
+        """Regress the soft assignment onto a one-hot target mapping
+        (run_diffpool.py:115-150), at the schedule-floor temperature
+        (the reference passes a fixed tau_pre)."""
+        tau = jnp.asarray(self.cfg.tau_min)
+
+        def loss_fn(p):
+            out = self._apply(p, batch, rng, tau)
+            return jnp.mean((out.assign - target[None]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            DiffPoolTrainState(
+                params=params, opt_state=opt_state, step=state.step, lr=state.lr
+            ),
+            loss,
+        )
+
+    def _sample_impl(self, params, batch, rng):
+        return self.model.apply(
+            {"params": params},
+            jnp.asarray(batch.z), jnp.asarray(batch.xyz), jnp.asarray(batch.adj),
+            jnp.asarray(self.cfg.tau_min),
+            method=self.model.sample,
+            rngs={"gumbel": rng, "sample": jax.random.fold_in(rng, 7)},
+        )
+
+    # ------------------------------------------------------------ public API
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    def sample(self, params, batch, rng):
+        return self._sample(params, batch, rng)
+
+    def pretrain(
+        self,
+        state: DiffPoolTrainState,
+        dataset: DiffPoolDatasetArrays,
+        target_mapping: np.ndarray,
+        n_epochs: int,
+        batch_size: int,
+    ) -> Tuple[DiffPoolTrainState, float]:
+        target = jax.nn.one_hot(
+            jnp.asarray(target_mapping, jnp.int32), self.cfg.n_cgs
+        )
+        rng = jax.random.PRNGKey(self.seed + 17)
+        shuffle = np.random.default_rng(self.seed)
+        loss = float("nan")
+        for ep in range(n_epochs):
+            losses = []
+            for i, batch in enumerate(dataset.iter_batches(batch_size, rng=shuffle)):
+                state, l = self._pretrain_step(
+                    state, batch, jax.random.fold_in(rng, ep * 10000 + i), target
+                )
+                losses.append(l)
+            loss = float(np.mean(jax.device_get(losses)))
+        return state, loss
+
+    def run_epoch(
+        self,
+        state: DiffPoolTrainState,
+        dataset: DiffPoolDatasetArrays,
+        rng: jax.Array,
+        batch_size: int,
+        train: bool = True,
+        shuffle_rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[DiffPoolTrainState, Dict[str, float]]:
+        agg: Dict[str, list] = {}
+        for i, batch in enumerate(
+            dataset.iter_batches(batch_size, rng=shuffle_rng if train else None)
+        ):
+            step_rng = jax.random.fold_in(rng, i)
+            if train:
+                state, metrics = self._train_step(state, batch, step_rng)
+            else:
+                metrics = self._eval_step(state.params, batch, step_rng, state.step)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        out = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+        return state, out
+
+    def fit(
+        self,
+        state: DiffPoolTrainState,
+        trainset: DiffPoolDatasetArrays,
+        valset: DiffPoolDatasetArrays,
+        nepochs: int,
+        batch_size: int,
+        patience: int = 20,
+        lr_patience: int = 10,
+        lr_factor: float = 0.6,
+        min_lr: float = 1e-8,
+        log_fn=None,
+    ):
+        controller = LowessPlateauController(
+            lr=self.base_lr, factor=lr_factor, patience=lr_patience,
+            min_lr=min_lr,
+        )
+        stopper = EarlyStopping(patience=patience)
+        shuffle_rng = np.random.default_rng(self.seed)
+        base_rng = jax.random.PRNGKey(self.seed)
+        history = []
+        for epoch in range(nepochs):
+            t0 = time.time()
+            rng = jax.random.fold_in(base_rng, epoch)
+            state, train_m = self.run_epoch(
+                state, trainset, rng, batch_size, train=True, shuffle_rng=shuffle_rng
+            )
+            _, val_m = self.run_epoch(
+                state, valset, jax.random.fold_in(rng, 999), batch_size, train=False
+            )
+            smoothed = controller.step(val_m["loss"])
+            state = state.replace(lr=jnp.asarray(controller.lr, jnp.float32))
+            row = {
+                "epoch": epoch, "lr": controller.lr,
+                "train_loss": train_m["loss"], "val_loss": val_m["loss"],
+                "train_recon": train_m["recon"], "val_recon": val_m["recon"],
+                "train_KL": train_m["kl"], "val_KL": val_m["kl"],
+                "train_graph": train_m["graph"], "val_graph": val_m["graph"],
+                "tau": train_m["tau"], "epoch_time_s": time.time() - t0,
+            }
+            history.append(row)
+            if log_fn is not None:
+                log_fn(row)
+            if controller.converged:
+                break
+            stopper(smoothed)
+            if stopper.early_stop or not np.isfinite(val_m["recon"]):
+                break
+        return state, history

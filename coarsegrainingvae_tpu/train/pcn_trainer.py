@@ -1,0 +1,193 @@
+"""PCN (protein backmapping) trainer — reference scripts/run_pdb.py +
+pcn_utils.py in /root/reference.
+
+Loss = recon + gamma * graph + kappa * dihedral (pcn_utils.py:185-193);
+PCN is deterministic (no VAE), so there is no KL term on the live path.
+Batches are padded multi-topology CGBatches from data/sidechain.py; the
+dihedral term runs on the flattened batch graph with per-sample index
+offsets folded in on device.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from coarsegrainingvae_tpu.data.batch import CGBatch, flatten_ids
+from coarsegrainingvae_tpu.data.sidechain import PCNDatasetArrays
+from coarsegrainingvae_tpu.models.cgvae import flatten_batch
+from coarsegrainingvae_tpu.ops.geometry import dihedral
+from coarsegrainingvae_tpu.train.controller import EarlyStopping, LowessPlateauController
+from coarsegrainingvae_tpu.train.losses import graph_loss, recon_loss
+
+
+@struct.dataclass
+class PCNTrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    lr: jnp.ndarray
+
+
+def pcn_loss(
+    out, g, quads, quad_mask, gamma: float, kappa: float
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    loss_recon = recon_loss(out.xyz, out.xyz_recon, g.atom_mask)
+    loss_graph = graph_loss(out.xyz, out.xyz_recon, g.bonds, g.bond_mask)
+    gen = dihedral(out.xyz_recon, quads)
+    dat = dihedral(out.xyz, quads)
+    m = quad_mask.astype(gen.dtype)
+    loss_dihe = jnp.sum(((gen - dat) ** 2) * m) / jnp.maximum(jnp.sum(m), 1.0)
+    total = loss_recon + gamma * loss_graph + kappa * loss_dihe
+    return total, {
+        "loss": total,
+        "recon": loss_recon,
+        "graph": loss_graph,
+        "dihe": loss_dihe,
+    }
+
+
+class PCNTrainer:
+    def __init__(
+        self,
+        model,
+        gamma: float = 25.0,
+        kappa: float = 1.0,
+        lr: float = 1e-4,
+        grad_clip: float = 0.01,
+        loss_skip_factor: float = 300.0,  # pcn_utils.py:197-200
+        seed: int = 123,
+    ):
+        self.model = model
+        self.gamma = gamma
+        self.kappa = kappa
+        self.base_lr = lr
+        self.loss_skip_factor = loss_skip_factor
+        self.seed = seed
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip), optax.scale_by_adam()
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._recon_step = jax.jit(self._recon_impl)
+
+    def init_state(self, batch: CGBatch, ca_mask: np.ndarray) -> PCNTrainState:
+        params = self.model.init(
+            jax.random.PRNGKey(self.seed), batch, jnp.asarray(ca_mask)
+        )["params"]
+        return PCNTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.base_lr, jnp.float32),
+        )
+
+    def _loss(self, params, batch: CGBatch, ca_mask, quads, quad_mask):
+        out = self.model.apply({"params": params}, batch, ca_mask)
+        g = flatten_batch(batch)
+        flat_quads = flatten_ids(quads, batch.n_atoms)  # (B*Q, 4)
+        return pcn_loss(
+            out, g, flat_quads, quad_mask.reshape(-1), self.gamma, self.kappa
+        )
+
+    def _train_step_impl(self, state, batch, ca_mask, quads, quad_mask):
+        (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch, ca_mask, quads, quad_mask
+        )
+        loss = metrics["loss"]
+        thresh = self.gamma * self.loss_skip_factor if self.gamma > 0 else jnp.inf
+        ok = jnp.isfinite(loss) & (loss < thresh)
+        grads = jax.tree.map(lambda g_: jnp.where(ok, g_, jnp.zeros_like(g_)), grads)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates)
+        params = optax.apply_updates(state.params, updates)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state
+        )
+        return (
+            PCNTrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, lr=state.lr),
+            metrics,
+        )
+
+    def _eval_step_impl(self, params, batch, ca_mask, quads, quad_mask):
+        _, metrics = self._loss(params, batch, ca_mask, quads, quad_mask)
+        return metrics
+
+    def _recon_impl(self, params, batch, ca_mask):
+        return self.model.apply({"params": params}, batch, ca_mask).xyz_recon
+
+    def reconstruct(self, params, batch: CGBatch, ca_mask):
+        return self._recon_step(params, batch, jnp.asarray(ca_mask))
+
+    def run_epoch(
+        self,
+        state: PCNTrainState,
+        dataset: PCNDatasetArrays,
+        batch_size: int,
+        train: bool = True,
+        shuffle_rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[PCNTrainState, Dict[str, float]]:
+        agg: Dict[str, list] = {}
+        for batch, ca_mask, quads, quad_mask in dataset.iter_batches(
+            batch_size, rng=shuffle_rng if train else None
+        ):
+            args = (batch, jnp.asarray(ca_mask), jnp.asarray(quads),
+                    jnp.asarray(quad_mask))
+            if train:
+                state, metrics = self._train_step(state, *args)
+            else:
+                metrics = self._eval_step(state.params, *args)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        return state, {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+
+    def fit(
+        self,
+        state: PCNTrainState,
+        trainset: PCNDatasetArrays,
+        valset: PCNDatasetArrays,
+        nepochs: int,
+        batch_size: int,
+        patience: int = 15,
+        lr_patience: int = 2,
+        lr_factor: float = 0.6,
+        min_lr: float = 1e-8,
+        log_fn=None,
+    ):
+        controller = LowessPlateauController(
+            lr=self.base_lr, factor=lr_factor, patience=lr_patience, min_lr=min_lr
+        )
+        stopper = EarlyStopping(patience=patience)
+        shuffle_rng = np.random.default_rng(self.seed)
+        history = []
+        for epoch in range(nepochs):
+            t0 = time.time()
+            state, train_m = self.run_epoch(
+                state, trainset, batch_size, train=True, shuffle_rng=shuffle_rng
+            )
+            _, val_m = self.run_epoch(state, valset, batch_size, train=False)
+            smoothed = controller.step(val_m["loss"])
+            state = state.replace(lr=jnp.asarray(controller.lr, jnp.float32))
+            row = {
+                "epoch": epoch, "lr": controller.lr,
+                "train_loss": train_m["loss"], "val_loss": val_m["loss"],
+                "train_recon": train_m["recon"], "val_recon": val_m["recon"],
+                "train_graph": train_m["graph"], "val_graph": val_m["graph"],
+                "train_dihe": train_m["dihe"], "val_dihe": val_m["dihe"],
+                "epoch_time_s": time.time() - t0,
+            }
+            history.append(row)
+            if log_fn is not None:
+                log_fn(row)
+            if controller.converged:
+                break
+            stopper(smoothed)
+            if stopper.early_stop or not np.isfinite(val_m["recon"]):
+                break
+        return state, history

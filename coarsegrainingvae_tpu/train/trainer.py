@@ -63,6 +63,18 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._recon_step = jax.jit(self._recon_step_impl)
         self._generate_step = jax.jit(self._generate_step_impl)
+        # device-resident data path: batch gather fused into the step
+        self._train_step_idx = jax.jit(
+            lambda state, dds, idx, rng: self._train_step_impl(
+                state, dds.gather(idx), rng
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step_idx = jax.jit(
+            lambda params, dds, idx, rng: self._eval_step_impl(
+                params, dds.gather(idx), rng
+            )
+        )
 
     # ------------------------------------------------------------------ init
     def init_state(self, batch: CGBatch, seed: int = 123) -> TrainState:
@@ -144,6 +156,38 @@ class Trainer:
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
         return state.replace(lr=jnp.asarray(lr, jnp.float32))
 
+    # -------------------------------------------------- device-resident path
+    def run_epoch_device(
+        self,
+        state: TrainState,
+        dds,
+        rng: jax.Array,
+        train: bool = True,
+        shuffle_rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Epoch over a data.device.DeviceDataset: per step the host sends
+        only a (B,) index vector; gather + forward + backward + update is
+        one XLA program."""
+        from coarsegrainingvae_tpu.data.device import epoch_index_batches
+
+        batches = epoch_index_batches(
+            dds.n_frames, self.cfg.data.batch_size,
+            shuffle_rng if train else None,
+        )
+        agg: Dict[str, list] = {}
+        for i in range(batches.shape[0]):
+            step_rng = jax.random.fold_in(rng, i)
+            idx = jnp.asarray(batches[i])
+            if train:
+                state, metrics = self._train_step_idx(state, dds, idx, step_rng)
+            else:
+                metrics = self._eval_step_idx(state.params, dds, idx, step_rng)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        out = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+        out["n_steps"] = batches.shape[0]
+        return state, out
+
     # ------------------------------------------------------------- epoch loop
     def run_epoch(
         self,
@@ -179,9 +223,17 @@ class Trainer:
         valset: CGDatasetArrays,
         log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
         nepochs: Optional[int] = None,
+        ckpt=None,
+        resume: bool = False,
     ) -> Tuple[TrainState, list]:
         """Full training run with plateau LR + early stopping. Returns
-        (final state, per-epoch history)."""
+        (final state, per-epoch history).
+
+        ckpt: optional train.checkpoint.CheckpointManager. Saves the full
+        train state every cfg.train.checkpoint_every epochs (plus final);
+        resume=True restarts from the latest checkpoint (epoch, controller
+        and early-stop counters included) -- capability the reference lacks
+        (SURVEY.md section 5.4)."""
         tc = self.cfg.train
         controller = LowessPlateauController(
             lr=tc.lr, factor=tc.lr_factor, patience=tc.lr_patience,
@@ -191,8 +243,18 @@ class Trainer:
         shuffle_rng = np.random.default_rng(self.cfg.data.seed)
         base_rng = jax.random.PRNGKey(self.cfg.data.seed)
         history = []
+        start_epoch = 0
 
-        for epoch in range(nepochs if nepochs is not None else tc.nepochs):
+        if resume and ckpt is not None and ckpt.latest_step() is not None:
+            state, meta, _ = ckpt.restore(state)
+            state = replicate(state, self.mesh)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            controller.load_state(meta.get("controller", {}))
+            stopper.load_state(meta.get("stopper", {}))
+            history = meta.get("history", [])
+            state = self.set_lr(state, controller.lr)
+
+        for epoch in range(start_epoch, nepochs if nepochs is not None else tc.nepochs):
             t0 = time.time()
             epoch_rng = jax.random.fold_in(base_rng, epoch)
             state, train_m = self.run_epoch(
@@ -222,12 +284,29 @@ class Trainer:
             if log_fn is not None:
                 log_fn(row)
 
+            stop = False
             if controller.converged:
-                break
+                stop = True
             stopper(smoothed)
             if stopper.early_stop:
-                break
+                stop = True
             if not np.isfinite(val_m["recon"]):
                 # NaN abort (run_ala.py:278-281)
+                stop = True
+
+            if ckpt is not None and (
+                stop
+                or (tc.checkpoint_every > 0 and (epoch + 1) % tc.checkpoint_every == 0)
+            ):
+                ckpt.save(
+                    epoch, state,
+                    metadata={
+                        "epoch": epoch,
+                        "controller": controller.save_state(),
+                        "stopper": stopper.save_state(),
+                        "history": history,
+                    },
+                )
+            if stop:
                 break
         return state, history

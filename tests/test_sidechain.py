@@ -1,0 +1,136 @@
+"""Protein/PCN data path tests (reference sidechain.py, pdbutils.py,
+run_pdb.py, pcn_utils.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coarsegrainingvae_tpu.config import ModelConfig
+from coarsegrainingvae_tpu.data.sidechain import (
+    ATOM_MAP_14,
+    RES2IDX,
+    backbone_dihedral_quads,
+    bond_graph_from_coords,
+    build_pcn_dataset,
+    protein_props,
+)
+from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+from coarsegrainingvae_tpu.models.cgvae import PCN
+from coarsegrainingvae_tpu.ops.geometry import dihedral, drmsd
+from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
+from coarsegrainingvae_tpu.utils.pdb import write_pdb
+
+
+def test_atom_map_14_layout():
+    for aa, names in ATOM_MAP_14.items():
+        assert len(names) == 14
+        assert names[:4] == ["N", "CA", "C", "O"] if aa != "G" else True
+    assert ATOM_MAP_14["G"][:4] == ["N", "CA", "C", "O"]
+    assert ATOM_MAP_14["G"][4] == ""
+    assert len(RES2IDX) == 20
+
+
+def test_protein_props_basic():
+    seq, crd = synthetic_protein(8, seed=0)
+    p = protein_props(seq, crd)
+    n_expected = sum(sum(1 for a in ATOM_MAP_14[aa] if a) for aa in seq)
+    assert p.z.shape[0] == n_expected
+    assert p.ca_xyz.shape == (8, 3)
+    np.testing.assert_array_equal(np.unique(p.mapping), np.arange(8))
+    # C-alphas at slot 1
+    assert np.all(p.channel_idx[p.ca_flag] == 1)
+    # bonds exist and are within the molecule
+    assert p.bonds.shape[0] > 0
+    assert p.bonds.max() < p.z.shape[0]
+
+
+def test_protein_props_missing_atoms():
+    seq, crd = synthetic_protein(6, seed=1, missing_frac=0.5)
+    p_full = protein_props(seq, synthetic_protein(6, seed=1)[1])
+    p = protein_props(seq, crd)
+    assert p.z.shape[0] <= p_full.z.shape[0]
+    assert np.all(p.channel_idx < 14)
+
+
+def test_backbone_dihedral_quads():
+    seq, crd = synthetic_protein(5, seed=2)
+    p = protein_props(seq, crd)
+    quads = backbone_dihedral_quads(p)
+    # phi for residues 1..4 and psi for residues 0..3 -> 8 quads
+    assert quads.shape == (8, 4)
+    assert quads.max() < p.z.shape[0]
+
+
+def test_dihedral_matches_reference_values():
+    # planar cis arrangement -> 0; trans -> pi
+    xyz = jnp.asarray(
+        [[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, 1, 0],   # cis (same side)
+         [0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, -1, 0]], # trans
+        jnp.float32,
+    )
+    q = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    ang = np.asarray(dihedral(xyz, q))
+    assert abs(ang[0]) < 1e-3
+    assert abs(abs(ang[1]) - np.pi) < 1e-3
+
+
+def test_drmsd_zero_and_positive():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    assert float(drmsd(x, x)) < 1e-5
+    y = x + jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    assert float(drmsd(x, y)) > 0.1
+
+
+@pytest.fixture(scope="module")
+def pcn_data():
+    items = [synthetic_protein(6 + (i % 3), seed=i) for i in range(8)]
+    return build_pcn_dataset(items, cg_cutoff=12.0)
+
+
+def test_build_pcn_dataset_padding(pcn_data):
+    ds = pcn_data
+    assert len(ds) == 8
+    assert ds.z.shape[0] == 8
+    # padded entries are masked off
+    assert ds.atom_mask.sum() < ds.atom_mask.size
+    # residue types within vocab
+    assert ds.res_idx.max() <= 20
+
+
+def test_pcn_forward_and_training(pcn_data):
+    ds = pcn_data
+    cfg = ModelConfig(n_basis=16, n_rbf=5, atom_cutoff=12.0, dec_nconv=1,
+                      activation="swish")
+    model = PCN(cfg=cfg)
+    trainer = PCNTrainer(model, gamma=1.0, kappa=0.5, lr=5e-3)
+    batch, ca_mask, quads, qmask = next(ds.iter_batches(4))
+    state = trainer.init_state(batch, ca_mask)
+    state, hist = trainer.fit(
+        ds_state := state, ds.subset(np.arange(6)), ds.subset(np.arange(6, 8)),
+        nepochs=4, batch_size=4,
+    )
+    assert np.isfinite(hist[-1]["train_recon"])
+    assert hist[-1]["train_recon"] < hist[0]["train_recon"]
+    # reconstruction keeps C-alphas pinned to their beads
+    recon = np.asarray(trainer.reconstruct(state.params, batch, ca_mask))
+    b, n = batch.z.shape
+    recon = recon.reshape(b, n, 3)
+    ca = np.asarray(batch.cg_xyz)
+    for bi in range(b):
+        flags = np.asarray(ca_mask[bi])
+        res = np.asarray(batch.mapping[bi])[flags]
+        np.testing.assert_allclose(recon[bi][flags], ca[bi][res], atol=1e-4)
+
+
+def test_write_pdb_roundtrip(tmp_path, pcn_data):
+    seq, crd = synthetic_protein(5, seed=3)
+    p = protein_props(seq, crd)
+    path = str(tmp_path / "out.pdb")
+    write_pdb(path, seq, p.xyz, p.mapping, p.channel_idx)
+    lines = open(path).read().splitlines()
+    atoms = [l for l in lines if l.startswith("ATOM")]
+    assert len(atoms) == p.z.shape[0]
+    # fixed-column coordinate fields parse back
+    x = float(atoms[0][30:38]); y = float(atoms[0][38:46]); z = float(atoms[0][46:54])
+    np.testing.assert_allclose([x, y, z], p.xyz[0], atol=1e-3)
+    assert any(l.startswith("SEQRES") for l in lines)

@@ -44,7 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_cache():
+    from coarsegrainingvae_tpu.utils.compile_cache import enable
+    enable()
+
+
 def main(argv=None):
+    _enable_cache()
     a = build_parser().parse_args(argv)
     logdir = annotate_job(f"baseline_{a.model}_ndata{a.ndata}", a.logdir, a.n_cgs)
     os.makedirs(logdir, exist_ok=True)

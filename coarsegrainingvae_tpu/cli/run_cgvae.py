@@ -231,7 +231,13 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
     return rows
 
 
+def _enable_cache():
+    from coarsegrainingvae_tpu.utils.compile_cache import enable
+    enable()
+
+
 def main(argv=None) -> list:
+    _enable_cache()
     args = build_parser().parse_args(argv)
     cfg = params_to_config(args)
     task = "recon" if args.det else "sample"

@@ -63,7 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_cache():
+    from coarsegrainingvae_tpu.utils.compile_cache import enable
+    enable()
+
+
 def main(argv=None):
+    _enable_cache()
     a = build_parser().parse_args(argv)
     logdir = annotate_job(f"pcn_ndata{a.ndata}", a.logdir, 0)
     os.makedirs(logdir, exist_ok=True)

@@ -187,6 +187,7 @@ def build_dataset(
         )
     else:
         cg_e = make_directed(cg_graph_from_bonds(np.asarray(bonds), mapping, n, n_cgs))
+        cg_e = cg_e[np.argsort(cg_e[:, 0], kind="stable")]  # receiver-sorted
         cg_nbrs = np.broadcast_to(cg_e, (f,) + cg_e.shape).copy()
         cg_nbr_mask = np.ones((f, cg_e.shape[0]), dtype=bool)
 

@@ -211,6 +211,26 @@ def spectral_mapping(bonds: np.ndarray, n_atoms: int, n_cgs: int, seed: int = 0)
     return out
 
 
+def nearest_site_mapping(
+    frames: np.ndarray, site_idx: np.ndarray
+) -> np.ndarray:
+    """Assign every atom to its nearest CG site, averaged over frames.
+
+    The 'minimal' and 'alpha' protocols (datasets.py:252-312) pick explicit
+    site atoms (mdtraj selections: heavy backbone markers resp. C-alphas)
+    and map the remaining atoms to the nearest site. Sites here come in as
+    atom indices, so the protocol works without mdtraj.
+    """
+    frames = np.asarray(frames, np.float32)
+    site_idx = np.asarray(site_idx, np.int64)
+    d = np.linalg.norm(
+        frames[:, :, None, :] - frames[:, site_idx][:, None, :, :], axis=-1
+    ).mean(axis=0)                          # (N, K) frame-averaged distance
+    mapping = d.argmin(axis=1).astype(np.int32)
+    mapping[site_idx] = np.arange(site_idx.shape[0], dtype=np.int32)
+    return mapping
+
+
 def get_mapping(
     method: str,
     n_cgs: int,
@@ -218,6 +238,7 @@ def get_mapping(
     bonds: Optional[np.ndarray] = None,
     frames: Optional[np.ndarray] = None,
     backbone_index: Optional[np.ndarray] = None,
+    site_index: Optional[np.ndarray] = None,
     mapshuffle: float = 0.0,
     seed: int = 0,
 ) -> np.ndarray:
@@ -236,6 +257,16 @@ def get_mapping(
     if method == "spectral":
         assert bonds is not None
         return spectral_mapping(bonds, n_atoms, n_cgs, seed)
+    if method in ("minimal", "alpha"):
+        # explicit site atoms + nearest-site assignment (datasets.py:252-312);
+        # 'alpha' sites are C-alphas, 'minimal' a sparse heavy-atom pick --
+        # both arrive as site_index so no MD library is required
+        assert frames is not None
+        if site_index is None:
+            # evenly spaced fallback sites when no topology annotation exists
+            site_index = np.linspace(0, n_atoms - 1, n_cgs).astype(np.int64)
+        assert len(site_index) == n_cgs, "need one site atom per bead"
+        return nearest_site_mapping(frames, np.asarray(site_index))
     if method == "cgae":
         # learned mapping autoencoder (cgae.py + datasets.py:190-249); retry
         # with fresh seeds until every bead is populated, mirroring the

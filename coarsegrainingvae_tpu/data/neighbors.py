@@ -89,6 +89,9 @@ def radius_graph_frames(
             pairs = np.stack([iu[sel], ju[sel]], axis=1).astype(np.int32)
             if directed:
                 pairs = np.concatenate([pairs, pairs[:, ::-1]], axis=0)
+            # RECEIVER-SORTED invariant: segment sums on the device pass
+            # indices_are_sorted=True (XLA TPU serializes unsorted scatters)
+            pairs = pairs[np.argsort(pairs[:, 0], kind="stable")]
             per_frame_pairs.append(pairs)
             counts[lo + k] = pairs.shape[0]
 
@@ -96,7 +99,9 @@ def radius_graph_frames(
         max_edges = int(counts.max()) if f else 0
         max_edges = ((max_edges + bucket - 1) // bucket) * bucket if max_edges else bucket
 
-    edges = np.zeros((f, max_edges, 2), dtype=np.int32)
+    # pad with (n-1, n-1) self-loops (zero payload via the mask) so the
+    # receiver column stays sorted through the padding tail
+    edges = np.full((f, max_edges, 2), n - 1, dtype=np.int32)
     mask = np.zeros((f, max_edges), dtype=bool)
     for k, pairs in enumerate(per_frame_pairs):
         e = pairs.shape[0]

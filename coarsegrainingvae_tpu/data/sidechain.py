@@ -278,8 +278,9 @@ def build_pcn_dataset(
     # C-alpha radius graphs (directed) per protein
     cg_edges = []
     for p in props:
-        e = radius_graph_dense(p.ca_xyz, cg_cutoff)
-        cg_edges.append(make_directed(e))
+        e = make_directed(radius_graph_dense(p.ca_xyz, cg_cutoff))
+        # receiver-sorted (segment sums use indices_are_sorted=True)
+        cg_edges.append(e[np.argsort(e[:, 0], kind="stable")])
 
     s = len(props)
     n_max = n_pad or max(p.z.shape[0] for p in props)
@@ -298,7 +299,8 @@ def build_pcn_dataset(
         mapping=np.zeros((s, n_max), np.int32),
         channel_idx=np.zeros((s, n_max), np.int32),
         ca_flag=np.zeros((s, n_max), bool),
-        nbrs=np.zeros((s, e_max, 2), np.int32),
+        # (l_max-1, l_max-1) padding keeps the receiver column sorted
+        nbrs=np.full((s, e_max, 2), l_max - 1, dtype=np.int32),
         nbr_mask=np.zeros((s, e_max), bool),
         bonds=np.zeros((s, eb_max, 2), np.int32),
         bond_mask=np.zeros((s, eb_max), bool),

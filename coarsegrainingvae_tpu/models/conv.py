@@ -80,6 +80,7 @@ class EquiMessageBlock(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,8 +108,10 @@ class EquiMessageBlock(nn.Module):
         if edge_wgt is not None:
             dv_ij = dv_ij * edge_wgt[:, None, None]
             ds_ij = ds_ij * edge_wgt[:, None]
-        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask)
-        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask)
+        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
+        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
         return ds, dv
 
 
@@ -119,6 +122,7 @@ class EquiMessageCross(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,8 +156,10 @@ class EquiMessageCross(nn.Module):
         if edge_wgt is not None:
             dv_ij = dv_ij * edge_wgt[:, None, None]
             ds_ij = ds_ij * edge_wgt[:, None]
-        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask)
-        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask)
+        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
+        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
         return ds, dv
 
 
@@ -166,6 +172,7 @@ class EquiMessagePseudo(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,10 +220,11 @@ class EquiMessagePseudo(nn.Module):
             + sp[8][:, None, :] * cross3(vbar_i, vbar_j)
         )
 
-        ds = segment_sum(ds_ij, i_idx, num_nodes, edge_mask)
-        dsbar = segment_sum(dsbar_ij, i_idx, num_nodes, edge_mask)
-        dv = segment_sum(dv_ij, i_idx, num_nodes, edge_mask)
-        dvbar = segment_sum(dvbar_ij, i_idx, num_nodes, edge_mask)
+        srt = self.edges_sorted
+        ds = segment_sum(ds_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dsbar = segment_sum(dsbar_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dv = segment_sum(dv_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dvbar = segment_sum(dvbar_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
         return ds, dsbar, dv, dvbar
 
 
@@ -228,6 +236,7 @@ class ENMessageBlock(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -254,8 +263,10 @@ class ENMessageBlock(nn.Module):
         if edge_wgt is not None:
             dv_ij = dv_ij * edge_wgt[:, None, None]
             ds_ij = ds_ij * edge_wgt[:, None]
-        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask)
-        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask)
+        dv = segment_sum(dv_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
+        ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
         return ds, dv
 
 
@@ -267,6 +278,7 @@ class InvMessageBlock(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -285,7 +297,8 @@ class InvMessageBlock(nn.Module):
             activation=self.activation, n_rbf=self.n_rbf, cutoff=self.cutoff,
             dtype=self.dtype,
         )(s, dist, edges)
-        ds = segment_sum(inv, edges[:, 0], num_nodes, edge_mask)
+        ds = segment_sum(inv, edges[:, 0], num_nodes, edge_mask,
+                         indices_are_sorted=self.edges_sorted)
         return ds, v
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -349,3 +350,91 @@ class DenseEquivariantDecoder(nn.Module):
         )
         v_dec = jnp.einsum("bkdf,nf->bknd", V, pooler)   # (B, K, N, 3)
         return H, v_dec
+
+
+class DenseFactoredEquiMessage(nn.Module):
+    """RBF-factored PaiNN message: mathematically identical to
+    DenseEquiMessageBlock but never materializes a per-pair (B, N, N, 3F)
+    filter tensor.
+
+    The distance filter is linear in the radial basis:
+        w_o(d_ij) = env_ij * (sum_r rbf_r(d_ij) W[r, o] + bias_o),
+    so every aggregated term reorders into per-basis contractions
+        G[b,i,r,f] = sum_j K[b,i,j,r] X[b,j,f],
+    with K = adj * env * rbf  (B, N, N, R+1; last channel = bias) -- a stack
+    of (N, N) @ (N, F) matmuls that tile straight onto the MXU -- followed by
+    a cheap fold over r with the filter weights. Cross products factor to
+    per-node form via bilinearity (see module docstring).
+
+    Biggest intermediate: (B, N, R+1, 3, F) instead of (B, N, N, 3F); for
+    the dipeptide bench shape that is 54 MB vs 168 MB, and the pair axis
+    never touches HBM.
+    """
+
+    feat_dim: int
+    activation: str
+    n_rbf: int
+    cutoff: float
+    cross: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        s: Array,      # (B, N, F)
+        v: Array,      # (B, N, 3, F)
+        dist: Array,   # (B, N, N)
+        unit: Array,   # (B, N, N, 3)
+        adj: Array,    # (B, N, N)
+    ) -> Tuple[Array, Array]:
+        from coarsegrainingvae_tpu.ops.basis import cosine_envelope, painn_radial_basis
+
+        f = self.feat_dim
+        n_split = 4 if self.cross else 3
+        r_aug = self.n_rbf + 1
+
+        phi = Dense(f, activation=self.activation, dtype=self.dtype)(s)
+        phi = Dense(n_split * f, dtype=self.dtype)(phi)
+        phi = phi.reshape(phi.shape[:2] + (n_split, f))       # (B, N, S, F)
+
+        # init matches the naive path's Xavier Dense over (R -> n_split*F)
+        # (modules.Dense); the bias channel (last row) starts at zero
+        def _filter_init(key, shape, dtype):
+            limit = jnp.sqrt(6.0 / (self.n_rbf + n_split * f))
+            w0 = jax.random.uniform(key, (self.n_rbf, n_split, f), dtype,
+                                    -limit, limit)
+            return jnp.concatenate(
+                [w0, jnp.zeros((1, n_split, f), dtype)], axis=0
+            )
+
+        w = self.param("filter_w", _filter_init, (r_aug, n_split, f), self.dtype)
+
+        rbf = painn_radial_basis(dist, self.n_rbf, self.cutoff)      # (B,N,N,R)
+        rbf = jnp.concatenate([rbf, jnp.ones_like(rbf[..., :1])], -1)
+        env = cosine_envelope(dist, self.cutoff)
+        k = adj[..., None] * env[..., None] * rbf                    # (B,N,N,R+1)
+
+        # --- scalar channel (split 1): ds_i = fold_r G(phi_b)
+        g_b = jnp.einsum("bijr,bjf->birf", k, phi[:, :, 1])
+        ds = jnp.einsum("birf,rf->bif", g_b, w[:, 1])
+
+        # --- unit-vector channel (split 2): per-receiver filter x unit
+        ku = jnp.einsum("bijr,bijd->bijrd", k, unit)
+        g_c = jnp.einsum("bijrd,bjf->birdf", ku, phi[:, :, 2])
+        dv = jnp.einsum("birdf,rf->bidf", g_c, w[:, 2])
+
+        # --- sender-vector channel (split 0): payload phi_a * v_j
+        p_a = phi[:, :, 0][:, :, None, :] * v                        # (B,N,3,F)
+        g_a = jnp.einsum("bijr,bjdf->birdf", k, p_a)
+        dv = dv + jnp.einsum("birdf,rf->bidf", g_a, w[:, 0])
+
+        if self.cross:
+            # split 3: sum_j w3_ij (v_i x v_j) = v_i x sum_j w3_ij v_j
+            p_3 = phi[:, :, 3][:, :, None, :] * v
+            g_3 = jnp.einsum("bijr,bjdf->birdf", k, p_3)
+            w3 = jnp.einsum("birdf,rf->bidf", g_3, w[:, 3])
+            bn = v.shape[0] * v.shape[1]
+            dv = dv + cross3(
+                v.reshape(bn, 3, f), w3.reshape(bn, 3, f)
+            ).reshape(v.shape)
+        return ds, dv

@@ -1,0 +1,267 @@
+"""Dense-mode CGequiVAE: the flagship model in the padded-batch regime.
+
+Mathematically the same model as models/cgvae.py (encode -> conditional CG
+prior -> reparametrize -> equivariant decode -> per-bead channel lift with
+COM constraint, reference cgvae.py:406-513) but computed WITHOUT edge lists:
+the radius graph is a dense (B, N, N) cutoff mask built in-model, and every
+aggregation is a batched einsum contraction over the sender axis. For small
+systems (dipeptide/pentapeptide scale) this is ~2x faster on TPU than the
+gather + segment-sum formulation -- measured fwd+bwd on one v5e chip --
+because gathers and scatter-adds disappear entirely and the contractions
+tile onto the MXU.
+
+Drop-in: consumes the same CGBatch (ignoring its precomputed edge lists) and
+returns the same flattened VAEOutput, so Trainer / losses / eval work
+unchanged. Cross products per pair are factored to per-node form via
+bilinearity: sum_j w_ij (a_i x b_j) = a_i x (sum_j w_ij b_j).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coarsegrainingvae_tpu.config import ModelConfig
+from coarsegrainingvae_tpu.data.batch import CGBatch
+from coarsegrainingvae_tpu.models.cgvae import VAEOutput
+from coarsegrainingvae_tpu.models.conv import cross3
+from coarsegrainingvae_tpu.models.dense import (
+    DenseFactoredEquiMessage,
+    DenseInvariantMessage,
+    DenseUpdateBlock,
+    dense_pairwise,
+    radius_adjacency,
+)
+from coarsegrainingvae_tpu.models.modules import Dense, DistanceEmbed, EmbeddingZeroPad, MLP
+
+Array = jnp.ndarray
+
+
+class DenseEquiMessagePseudo(nn.Module):
+    """Dense chirality-aware message block (sparse original conv.py:165-242
+    in /root/reference). 9-way split; every pair term is either an einsum
+    over senders or factored to per-node form:
+      ds      = s_i * sum_j A sp0
+      dsbar   = v_i . sum_j A vbar_j        (dot over the 3-axis)
+      dv      = S(sp1 unit) + S(sp2 v_j) + v_i x S(sp3 vbar_j)
+                + sbar_i * S(sp4 vbar_j)
+      dvbar   = S(sp5 vbar_j) + sbar_i * S(sp6 v_j) + v_i x S(sp7 v_j)
+                + vbar_i x S(sp8 vbar_j)
+    with S(.) = weighted sum over senders j."""
+
+    feat_dim: int
+    activation: str
+    n_rbf: int
+    cutoff: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        s: Array, sbar: Array,        # (B, M, F)
+        v: Array, vbar: Array,        # (B, M, 3, F)
+        dist: Array, unit: Array, adj: Array,
+    ) -> Tuple[Array, Array, Array, Array]:
+        f = self.feat_dim
+        inv = DenseInvariantMessage(
+            feat_dim=f, out_feat_dim=9 * f, activation=self.activation,
+            n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+        )(s, dist)
+        inv = inv.reshape(inv.shape[:3] + (9, f)) * adj[..., None, None]
+        sp = [inv[..., k, :] for k in range(9)]
+
+        def s_v(w, x):   # sum_j w[b,i,j,f] x[b,j,d,f] -> (B,M,3,F)
+            return jnp.einsum("bijf,bjdf->bidf", w, x)
+
+        def s_u(w):      # sum_j w[b,i,j,f] unit[b,i,j,d] -> (B,M,3,F)
+            return jnp.einsum("bijf,bijd->bidf", w, unit)
+
+        bm = s.shape[0] * s.shape[1]
+        shape_v = v.shape
+
+        def cx(a, b):
+            return cross3(a.reshape(bm, 3, f), b.reshape(bm, 3, f)).reshape(shape_v)
+
+        ds = s * jnp.sum(sp[0] , axis=2)
+        dsbar = jnp.sum(v * jnp.einsum("bij,bjdf->bidf", adj, vbar), axis=2)
+
+        dv = (
+            s_u(sp[1])
+            + s_v(sp[2], v)
+            + cx(v, s_v(sp[3], vbar))
+            + sbar[:, :, None, :] * s_v(sp[4], vbar)
+        )
+        dvbar = (
+            s_v(sp[5], vbar)
+            + sbar[:, :, None, :] * s_v(sp[6], v)
+            + cx(v, s_v(sp[7], v))
+            + cx(vbar, s_v(sp[8], vbar))
+        )
+        return ds, dsbar, dv, dvbar
+
+
+class DenseContractive(nn.Module):
+    """Atom->assigned-bead pooling message (sparse original conv.py:677-733):
+    per-atom filter on r_iI = x_i - X_map(i), aggregated with the one-hot
+    assignment as a (B,N,K) matmul instead of a scatter."""
+
+    feat_dim: int
+    activation: str
+    n_rbf: int
+    cutoff: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        s: Array, v: Array,           # (B, N, F), (B, N, 3, F)
+        r_iI: Array,                  # (B, N, 3)
+        onehot: Array,                # (B, N, K)
+    ) -> Tuple[Array, Array]:
+        f = self.feat_dim
+        d = jnp.sqrt(jnp.sum(r_iI**2 + 1e-8, axis=-1))
+        unit = r_iI / d[..., None]
+        phi = Dense(f, activation=self.activation, dtype=self.dtype)(s)
+        phi = Dense(3 * f, dtype=self.dtype)(phi)
+        w_s = DistanceEmbed(n_rbf=self.n_rbf, cutoff=self.cutoff,
+                            feat_dim=3 * f, dtype=self.dtype)(d)
+        inv = (phi * w_s).reshape(s.shape[:2] + (3, f))
+        a, b, c = inv[..., 0, :], inv[..., 1, :], inv[..., 2, :]
+        dv = c[:, :, None, :] * unit[..., None] + a[:, :, None, :] * v
+        dV = jnp.einsum("bnk,bndf->bkdf", onehot, dv)
+        dS = jnp.einsum("bnk,bnf->bkf", onehot, b)
+        return dS, dV
+
+
+class DenseCGVAE(nn.Module):
+    """Dense-regime CGequiVAE; same architecture hyperparameters and
+    RNG streams as models/cgvae.CGequiVAE."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, batch: CGBatch, generate: bool = False) -> VAEOutput:
+        c = self.cfg
+        f = c.n_basis
+        dtype = jnp.dtype(c.compute_dtype)
+        b, n = batch.z.shape
+        m = batch.cg_z.shape[1]
+
+        xyz, cg_xyz = batch.xyz, batch.cg_xyz
+        onehot = jax.nn.one_hot(batch.mapping, m, dtype=jnp.float32)
+        onehot = onehot * batch.atom_mask[..., None]
+        norm = onehot / jnp.maximum(jnp.sum(onehot, axis=1, keepdims=True), 1e-8)
+
+        _, dist, unit = dense_pairwise(xyz)
+        adj = radius_adjacency(dist, c.cg_cutoff, batch.atom_mask)
+        # NOTE the reference wires cg_cutoff into the atom-graph encoder's
+        # edge filters (run_ala.py:199-201) -- preserved
+        _, cg_dist, cg_unit = dense_pairwise(cg_xyz)
+        cg_adj = radius_adjacency(cg_dist, c.cg_cutoff, batch.cg_mask)
+        dec_adj = radius_adjacency(cg_dist, c.atom_cutoff, batch.cg_mask)
+
+        r_iI = xyz - jnp.einsum("bkd,bnk->bnd", cg_xyz, onehot)
+
+        # ------------------------------------------------------- encoder
+        h = EmbeddingZeroPad(100, f)(batch.z)
+        v = jnp.zeros((b, n, 3, f), h.dtype)
+        H = jnp.zeros((b, m, f), h.dtype)
+        V = jnp.zeros((b, m, 3, f), h.dtype)
+        for i in range(c.enc_nconv):
+            ds, dv = DenseFactoredEquiMessage(
+                feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
+                cutoff=c.cg_cutoff, dtype=dtype,
+            )(h, v, dist, unit, adj)
+            h = h + ds
+            v = v + dv
+            if i == 0:
+                H = jnp.einsum("bnk,bnf->bkf", norm, h)
+                V = jnp.einsum("bnk,bndf->bkdf", norm, v)
+            dH, dV = DenseContractive(
+                feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
+                cutoff=c.contract_cutoff, dtype=dtype,
+            )(h, v, r_iI, onehot)
+            H = H + dH
+            V = V + dV
+
+        # --------------------------------------------------------- prior
+        Hp = EmbeddingZeroPad(100, f)(batch.cg_z)
+        Vp = jnp.zeros((b, m, 3, f), Hp.dtype)
+        for _ in range(c.enc_nconv):
+            dH, dV = DenseFactoredEquiMessage(
+                feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
+                cutoff=c.cg_cutoff, dtype=dtype,
+            )(Hp, Vp, cg_dist, cg_unit, cg_adj)
+            Hp = Hp + dH
+            Vp = Vp + dV
+        prior_mu = MLP([f, f], activation="Tanh", dtype=dtype)(Hp)
+        prior_lv = MLP([f, f], activation="Tanh", dtype=dtype)(Hp)
+        prior_sigma = 1e-9 + jnp.exp(prior_lv / 2.0)
+
+        # ------------------------------------------------ posterior heads
+        mu = MLP([f, f], activation="ReLU", dtype=dtype)(H)
+        logvar = MLP([f, f], activation="ReLU", dtype=dtype)(H)
+        sigma = 1e-12 + jnp.exp(logvar / 2.0)
+
+        if generate:
+            eps = jax.random.normal(self.make_rng("sample"), prior_mu.shape,
+                                    prior_mu.dtype)
+            z_lat = prior_mu + prior_sigma * eps
+        elif c.det:
+            z_lat = H
+        else:
+            eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+            z_lat = mu + sigma * eps
+
+        # -------------------------------------------------------- decoder
+        S = z_lat
+        Vd = jnp.zeros((b, m, 3, f), S.dtype)
+        if c.dec_type == "pseudo":
+            Sbar = jnp.ones_like(S) if c.breaksym else jnp.zeros_like(S)
+            Vbar = jnp.zeros_like(Vd)
+            for _ in range(c.dec_nconv):
+                dS, dSb, dV, dVb = DenseEquiMessagePseudo(
+                    feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
+                    cutoff=c.atom_cutoff, dtype=dtype,
+                )(S, Sbar, Vd, Vbar, cg_dist, cg_unit, dec_adj)
+                S, Sbar, Vd, Vbar = S + dS, Sbar + dSb, Vd + dV, Vbar + dVb
+                dS, dV = DenseUpdateBlock(
+                    feat_dim=f, activation=c.activation, dtype=dtype
+                )(S, Vd)
+                S, Vd = S + dS, Vd + dV
+        else:
+            cross = c.dec_type == "cross"
+            for _ in range(c.dec_nconv):
+                dS, dV = DenseFactoredEquiMessage(
+                    feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
+                    cutoff=c.atom_cutoff, cross=cross, dtype=dtype,
+                )(S, Vd, cg_dist, cg_unit, dec_adj)
+                S, Vd = S + dS, Vd + dV
+                dS, dV = DenseUpdateBlock(
+                    feat_dim=f, activation=c.activation, dtype=dtype
+                )(S, Vd)
+                S, Vd = S + dS, Vd + dV
+
+        # --------------------------------------------- channel lift + COM
+        per_atom = jnp.take_along_axis(
+            Vd, batch.mapping[:, :, None, None].astype(jnp.int32), axis=1
+        )                                                     # (B, N, 3, F)
+        ch = batch.channel_idx[:, :, None, None].astype(jnp.int32)
+        xyz_rel = jnp.take_along_axis(per_atom, ch, axis=3)[..., 0]  # (B,N,3)
+        if c.offset:
+            offsets = jnp.einsum("bnk,bnd->bkd", norm, xyz_rel)
+            xyz_rel = xyz_rel - jnp.einsum("bkd,bnk->bnd", offsets, onehot)
+        anchor = jnp.einsum("bkd,bnk->bnd", cg_xyz, onehot)
+        xyz_recon = xyz_rel + anchor
+
+        return VAEOutput(
+            mu=mu.reshape(b * m, f), sigma=sigma.reshape(b * m, f),
+            prior_mu=prior_mu.reshape(b * m, f),
+            prior_sigma=prior_sigma.reshape(b * m, f),
+            xyz=xyz.reshape(b * n, 3), xyz_recon=xyz_recon.reshape(b * n, 3),
+        )
+
+    def generate(self, batch: CGBatch) -> Array:
+        return self(batch, generate=True).xyz_recon

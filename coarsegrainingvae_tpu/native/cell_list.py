@@ -66,7 +66,9 @@ def radius_graph_frames(
         ))
         max_edges = ((m + bucket - 1) // bucket) * bucket if m else bucket
 
-    edges = np.zeros((f, max_edges, 2), dtype=np.int32)
+    # padding = (n-1, n-1) self-loops so the receiver column stays sorted
+    # (the C++ emits edges in ascending-receiver order by construction)
+    edges = np.full((f, max_edges, 2), n - 1, dtype=np.int32)
     mask = np.zeros((f, max_edges), dtype=np.uint8)
     counts = np.zeros((f,), dtype=np.int64)
     rc = lib.radius_graph_frames_cell(

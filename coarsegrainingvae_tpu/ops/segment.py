@@ -19,6 +19,7 @@ def segment_sum(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """scatter_add equivalent (conv.py:119-127 etc. in the reference).
 
@@ -27,11 +28,18 @@ def segment_sum(
       segment_ids: (E,) int32 destination ids in [0, num_segments).
       num_segments: static segment count.
       mask: optional (E,) bool/float; masked-out rows contribute zero.
+      indices_are_sorted: pass True when edges were receiver-sorted on host
+        (data/neighbors.py sorts at build time) -- XLA TPU lowers unsorted
+        scatter-adds to a serialized update loop, so this flag is a large
+        speedup on the message-passing hot path.
     """
     if mask is not None:
         m = mask.astype(data.dtype)
         data = data * m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
 
 
 def segment_mean(

@@ -157,6 +157,43 @@ class Trainer:
         return state.replace(lr=jnp.asarray(lr, jnp.float32))
 
     # -------------------------------------------------- device-resident path
+    def _epoch_scan_impl(self, state: TrainState, dds, idx_batches, rng):
+        """One WHOLE epoch as a single XLA program: lax.scan over the
+        (S, B) index batches. No per-step Python dispatch; metrics come
+        back stacked (S, ...)."""
+
+        def step(carry, inp):
+            st = carry
+            i, idx = inp
+            st, metrics = self._train_step_impl(
+                st, dds.gather(idx), jax.random.fold_in(rng, i)
+            )
+            return st, metrics
+
+        steps = jnp.arange(idx_batches.shape[0])
+        state, metrics = jax.lax.scan(step, state, (steps, idx_batches))
+        return state, metrics
+
+    def run_epoch_scan(
+        self,
+        state: TrainState,
+        dds,
+        rng: jax.Array,
+        shuffle_rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Train one epoch with the scan path (device-resident data)."""
+        from coarsegrainingvae_tpu.data.device import epoch_index_batches
+
+        if not hasattr(self, "_epoch_scan"):
+            self._epoch_scan = jax.jit(self._epoch_scan_impl, donate_argnums=(0,))
+        batches = jnp.asarray(
+            epoch_index_batches(dds.n_frames, self.cfg.data.batch_size, shuffle_rng)
+        )
+        state, metrics = self._epoch_scan(state, dds, batches, rng)
+        out = {k: float(np.mean(v)) for k, v in jax.device_get(metrics).items()}
+        out["n_steps"] = int(batches.shape[0])
+        return state, out
+
     def run_epoch_device(
         self,
         state: TrainState,
@@ -294,8 +331,12 @@ class Trainer:
                 # NaN abort (run_ala.py:278-281)
                 stop = True
 
+            # save on stop, on the periodic schedule, and ALWAYS on the final
+            # epoch (a run that exhausts its epoch budget must still leave a
+            # restorable checkpoint)
+            final = epoch + 1 == (nepochs if nepochs is not None else tc.nepochs)
             if ckpt is not None and (
-                stop
+                stop or final
                 or (tc.checkpoint_every > 0 and (epoch + 1) % tc.checkpoint_every == 0)
             ):
                 ckpt.save(

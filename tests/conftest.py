@@ -14,6 +14,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: re-runs (and xdist workers) reuse
+# compiled programs instead of recompiling every jitted step per process
+_cache_dir = os.environ.get(
+    "COARSEGRAININGVAE_TEST_CACHE", "/tmp/cgvae_tpu_xla_cache"
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -98,3 +98,23 @@ def test_backbone_partition():
     m = mappings.backbone_partition_mapping(frames, bb, 3, seed=1, skip=50)
     assert m.shape == (10,)
     assert m.max() < 3
+
+
+def test_edges_receiver_sorted_invariant():
+    """The whole pipeline must emit receiver-sorted edge lists (segment sums
+    run with indices_are_sorted=True)."""
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.data.batch import flatten_ids
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=8, seed=0)
+    mapping = np.arange(z.shape[0]) % 3
+    for cg_cutoff in (9.5, None):
+        ds = build_dataset(mapping, frames, 8.5, cg_cutoff, z, bonds, order=2)
+        batch = ds.batch(np.arange(4))
+        for local, stride in ((batch.nbrs, ds.n_atoms), (batch.cg_nbrs, 3)):
+            flat = np.asarray(flatten_ids(jnp.asarray(local), stride)).reshape(-1, 2)
+            recv = flat[:, 0]
+            assert np.all(np.diff(recv) >= 0), "receiver column not sorted"

@@ -1,0 +1,88 @@
+"""Device-resident data path + epoch-as-one-jit scan trainer."""
+import jax
+import numpy as np
+import pytest
+
+from coarsegrainingvae_tpu.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+from coarsegrainingvae_tpu.data.dataset import build_dataset
+from coarsegrainingvae_tpu.data.device import DeviceDataset, epoch_index_batches
+from coarsegrainingvae_tpu.data.mappings import nearest_site_mapping
+from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+from coarsegrainingvae_tpu.train.trainer import Trainer
+
+
+def _setup(n_frames=32):
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=n_frames, seed=0)
+    mapping = np.arange(z.shape[0]) % 3
+    ds = build_dataset(mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5,
+                       atomic_nums=z, bonds=bonds, order=2, rotate=False)
+    cfg = ExperimentConfig(
+        model=ModelConfig(n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5,
+                          cg_cutoff=9.5, enc_nconv=1, dec_nconv=1,
+                          dec_type="painn"),
+        data=DataConfig(batch_size=8, seed=0),
+        train=TrainConfig(lr=1e-3, beta=0.01, gamma=1.0),
+    )
+    return cfg, ds
+
+
+def test_gather_matches_host_batch():
+    cfg, ds = _setup()
+    dds = DeviceDataset.from_dataset(ds)
+    idx = np.array([3, 1, 7, 2])
+    host = ds.batch(idx)
+    dev = jax.jit(dds.gather)(idx)
+    np.testing.assert_allclose(np.asarray(dev.xyz), host.xyz, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev.nbrs), host.nbrs)
+    np.testing.assert_array_equal(np.asarray(dev.mapping), host.mapping)
+
+
+def test_epoch_index_batches_cover_all_frames():
+    b = epoch_index_batches(33, 8, None)
+    assert b.shape == (4, 8)
+    assert set(b.ravel()) <= set(range(33))
+    # shuffled variant is a permutation of the same coverage
+    b2 = epoch_index_batches(32, 8, np.random.default_rng(0))
+    assert sorted(b2.ravel()) == list(range(32))
+
+
+def test_scan_epoch_matches_loop_epoch():
+    """One-jit scan epoch produces the same final params as the per-step
+    device loop (same shuffle, same RNG folds)."""
+    cfg, ds = _setup()
+    dds = DeviceDataset.from_dataset(ds)
+    model = CGequiVAE(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+
+    t1 = Trainer(model, cfg, mesh=make_mesh(1))
+    s_loop = t1.init_state(ds.batch(np.arange(8)), seed=0)
+    s_loop, m_loop = t1.run_epoch_device(
+        s_loop, dds, rng, train=True, shuffle_rng=np.random.default_rng(5)
+    )
+
+    t2 = Trainer(model, cfg, mesh=make_mesh(1))
+    s_scan = t2.init_state(ds.batch(np.arange(8)), seed=0)
+    s_scan, m_scan = t2.run_epoch_scan(
+        s_scan, dds, rng, shuffle_rng=np.random.default_rng(5)
+    )
+
+    assert m_scan["n_steps"] == m_loop["n_steps"]
+    np.testing.assert_allclose(m_scan["loss"], m_loop["loss"], rtol=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_loop.params)),
+        jax.tree.leaves(jax.device_get(s_scan.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_nearest_site_mapping():
+    frames = np.zeros((2, 5, 3), np.float32)
+    frames[:, 0] = [0, 0, 0]
+    frames[:, 1] = [0.5, 0, 0]
+    frames[:, 2] = [10, 0, 0]
+    frames[:, 3] = [10.5, 0, 0]
+    frames[:, 4] = [9.8, 0, 0]
+    m = nearest_site_mapping(frames, np.array([0, 2]))
+    np.testing.assert_array_equal(m, [0, 0, 1, 1, 1])

@@ -136,3 +136,36 @@ def evaluate_samples(
 
 def unaligned_rmsd_np(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(((a - b) ** 2).sum(-1).mean()))
+
+
+def tetrahedral_indices(z: np.ndarray, bonds: np.ndarray) -> dict:
+    """Carbon atoms with exactly four bonded neighbors -> neighbor lists
+    (reference get_tetra_idx, run_baseline.py:94-106)."""
+    n = z.shape[0]
+    nbrs: dict = {i: [] for i in range(n)}
+    for a, b in np.asarray(bonds):
+        nbrs[int(a)].append(int(b))
+        nbrs[int(b)].append(int(a))
+    return {
+        i: sorted(nbrs[i])
+        for i in range(n)
+        if int(z[i]) == 6 and len(nbrs[i]) == 4
+    }
+
+
+def compute_hch(xyz: np.ndarray, tetra_index: dict) -> float:
+    """Mean squared deviation of tetrahedral-center bond-pair cosines from
+    the ideal -1/3 (reference compute_HCH, run_baseline.py:109-118).
+
+    xyz: (S, N, 3). Averaged over ALL tetrahedral centers (the reference
+    loop overwrites and only scores the last one -- fixed here)."""
+    pairs = np.array([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    vals = []
+    for center, nbr in tetra_index.items():
+        d = xyz[:, [center], :] - xyz[:, nbr, :]            # (S, 4, 3)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        cos = np.sum(d[:, pairs[:, 0]] * d[:, pairs[:, 1]], axis=-1)
+        vals.append((cos - (-1.0 / 3.0)) ** 2)
+    if not vals:
+        return float("nan")
+    return float(np.mean(np.concatenate(vals)))

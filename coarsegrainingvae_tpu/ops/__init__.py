@@ -15,3 +15,4 @@ from coarsegrainingvae_tpu.ops.geometry import (
     random_rotation_matrices,
     rotate,
 )
+from coarsegrainingvae_tpu.ops.pallas_message import fused_message, message_reference

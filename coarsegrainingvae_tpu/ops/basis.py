@@ -26,7 +26,8 @@ def painn_radial_basis(d: jnp.ndarray, n_rbf: int, cutoff: float) -> jnp.ndarray
     Returns shape d.shape + (n_rbf,).
     """
     shape_d = d[..., None]
-    n = jnp.arange(1, n_rbf + 1, dtype=d.dtype)
+    # integer iota + cast: Mosaic (Pallas TPU) only lowers integer iota
+    n = jnp.arange(1, n_rbf + 1).astype(d.dtype)
     coef = n * math.pi / cutoff
     denom = jnp.where(shape_d == 0.0, 1.0, shape_d)
     num = jnp.where(shape_d == 0.0, coef, jnp.sin(coef * shape_d))

@@ -91,3 +91,32 @@ def save_grid_snapshots(
                        os.path.join(outdir, "rotate_recon.xyz"), n_frames)
     save_rotate_frames(cg, cg_nums,
                        os.path.join(outdir, "rotate_cg.xyz"), n_frames)
+
+
+def plot_assignment(
+    assign: np.ndarray, atomic_nums: Optional[np.ndarray], path: str
+) -> None:
+    """Soft-assignment heatmap (reference plot_map, run_diffpool.py:32-41):
+    atoms x beads matrix with atom rows annotated by element."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    assign = np.asarray(assign)
+    fig, ax = plt.subplots(
+        figsize=(4, max(3, assign.shape[0] * 0.12))
+    )
+    im = ax.imshow(assign, aspect="auto", cmap="viridis")
+    ax.set_xlabel("CG bead")
+    ax.set_ylabel("atom")
+    if atomic_nums is not None:
+        from coarsegrainingvae_tpu.utils.xyz import _SYMBOLS
+
+        ax.set_yticks(range(assign.shape[0]))
+        ax.set_yticklabels(
+            [_SYMBOLS.get(int(z), "X") for z in atomic_nums], fontsize=5
+        )
+    fig.colorbar(im, ax=ax, label="assignment weight")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)

@@ -90,3 +90,20 @@ def test_get_cv_stats(tmp_path):
         f.write("fold,rmsd\n0,1.0\n1,3.0\n")
     stats = get_cv_stats(d)
     assert stats["rmsd"] == (2.0, 1.0)
+
+
+def test_hch_metric_ideal_tetrahedron_is_zero():
+    from coarsegrainingvae_tpu.eval.metrics import compute_hch, tetrahedral_indices
+
+    # perfect tetrahedron around a carbon
+    verts = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], float)
+    xyz = np.concatenate([[np.zeros(3)], verts])[None]  # (1, 5, 3)
+    z = np.array([6, 1, 1, 1, 1])
+    bonds = np.array([[0, 1], [0, 2], [0, 3], [0, 4]])
+    tetra = tetrahedral_indices(z, bonds)
+    assert list(tetra) == [0]
+    assert compute_hch(xyz, tetra) < 1e-10
+    # squashed geometry scores worse
+    bad = xyz.copy()
+    bad[0, 1] = [0.1, 0.1, 1.0]
+    assert compute_hch(bad, tetra) > 1e-3

@@ -36,6 +36,7 @@ from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
 from coarsegrainingvae_tpu.train.checkpoint import CheckpointManager
 from coarsegrainingvae_tpu.train.trainer import Trainer
 from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
+from coarsegrainingvae_tpu.utils.visualization import save_grid_snapshots
 from coarsegrainingvae_tpu.utils.xyz import write_xyz
 
 CV_STAT_FIELDS = [
@@ -68,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n_ensemble", type=int, default=16)
     p.add_argument("-nevals", type=int, default=36)
     p.add_argument("-edgeorder", type=int, default=2)
+    p.add_argument("-auxcutoff", type=float, default=0.0)
     p.add_argument("-beta", type=float, default=0.001)
     p.add_argument("-gamma", type=float, default=0.01)
     p.add_argument("-nsplits", type=int, default=5)
@@ -100,7 +102,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         data=DataConfig(
             dataset=a.dataset, ndata=a.ndata, batch_size=a.batch_size,
             cg_method=a.cg_method, edgeorder=a.edgeorder, nsplits=a.nsplits,
-            mapshuffle=a.mapshuffle, seed=a.seed,
+            mapshuffle=a.mapshuffle, seed=a.seed, auxcutoff=a.auxcutoff,
         ),
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
@@ -150,10 +152,11 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         with open(os.path.join(split_dir, "mapping.json"), "w") as f:
             json.dump([int(x) for x in mapping], f)
 
+        aux = cfg.data.auxcutoff if cfg.data.auxcutoff > 0 else None
         ds_train_full = build_dataset(
             mapping, frames[train_idx], cfg.model.atom_cutoff,
             cfg.model.cg_cutoff, z, bonds, order=cfg.data.edgeorder,
-            seed=cfg.data.seed,
+            seed=cfg.data.seed, aux_cutoff=aux,
         )
         ds_test = build_dataset(
             mapping, frames[test_idx], cfg.model.atom_cutoff,
@@ -161,6 +164,7 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
             seed=cfg.data.seed, rotate=False,
             max_atom_edges=ds_train_full.nbrs.shape[1],
             max_cg_edges=ds_train_full.cg_nbrs.shape[1],
+            aux_cutoff=aux,
         )
         n_val = max(int(len(ds_train_full) * cfg.data.val_frac), 1)
         ds_val = ds_train_full.subset(np.arange(n_val))
@@ -202,6 +206,15 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
                   recon["recon_xyzs"][:64], z)
         write_xyz(os.path.join(split_dir, "test_samples.xyz"),
                   samples["sample_xyzs"].reshape(-1, z.shape[0], 3)[:128], z)
+        # rotating-grid movies for ensemble/data/recon/CG (run_ala.py:407)
+        n_show = min(9, samples["sample_xyzs"].shape[0])
+        save_grid_snapshots(
+            samples["sample_xyzs"][0, :n_show],
+            samples["data_xyzs"][:n_show],
+            samples["recon_xyzs"][:n_show],
+            samples["cg_xyzs"][:n_show],
+            z, np.full(cfg.model.n_cgs, 6), split_dir,
+        )
 
         def _rmsd_mean(v):
             return float(np.mean(v)) if v is not None and len(np.atleast_1d(v)) else float("nan")

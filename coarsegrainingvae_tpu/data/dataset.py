@@ -41,6 +41,11 @@ class CGDatasetArrays:
     cg_nbrs: np.ndarray
     cg_nbr_mask: np.ndarray
     n_cgs: int
+    # optional per-frame aux edges replacing the bonded graph-loss edges
+    # (reference generate_aux_edges, data.py:199-205: a radius graph at
+    # auxcutoff overwrites bond_edge_list)
+    aux_bonds: Optional[np.ndarray] = None   # (F, Ea, 2)
+    aux_mask: Optional[np.ndarray] = None    # (F, Ea)
 
     def __len__(self) -> int:
         return self.xyz.shape[0]
@@ -58,6 +63,8 @@ class CGDatasetArrays:
             nbr_mask=self.nbr_mask[idx],
             cg_nbrs=self.cg_nbrs[idx],
             cg_nbr_mask=self.cg_nbr_mask[idx],
+            aux_bonds=None if self.aux_bonds is None else self.aux_bonds[idx],
+            aux_mask=None if self.aux_mask is None else self.aux_mask[idx],
         )
 
     def batch(self, idx: np.ndarray) -> CGBatch:
@@ -78,8 +85,10 @@ class CGDatasetArrays:
             nbr_mask=self.nbr_mask[idx],
             cg_nbrs=self.cg_nbrs[idx],
             cg_nbr_mask=self.cg_nbr_mask[idx],
-            bonds=tile(self.bonds.astype(np.int32)),
-            bond_mask=np.ones((b, self.bonds.shape[0]), dtype=bool),
+            bonds=(tile(self.bonds.astype(np.int32))
+                   if self.aux_bonds is None else self.aux_bonds[idx]),
+            bond_mask=(np.ones((b, self.bonds.shape[0]), dtype=bool)
+                       if self.aux_mask is None else self.aux_mask[idx]),
         )
 
     def iter_batches(
@@ -151,6 +160,7 @@ def build_dataset(
     seed: int = 123,
     max_atom_edges: Optional[int] = None,
     max_cg_edges: Optional[int] = None,
+    aux_cutoff: Optional[float] = None,
 ) -> CGDatasetArrays:
     """Frames -> preprocessed arrays (reference build_dataset,
     datasets.py:459-506 + CGDataset.generate_neighbor_list, data.py:207-251).
@@ -191,6 +201,14 @@ def build_dataset(
         cg_nbrs = np.broadcast_to(cg_e, (f,) + cg_e.shape).copy()
         cg_nbr_mask = np.ones((f, cg_e.shape[0]), dtype=bool)
 
+    aux_bonds = aux_mask = None
+    if aux_cutoff is not None and aux_cutoff > 0.0:
+        # aux radius edges replace the bonded graph-loss edges
+        # (generate_aux_edges, data.py:199-205; run_ala.py:69-71)
+        aux_bonds, aux_mask = radius_graph_frames(
+            traj, aux_cutoff, directed=False
+        )
+
     return CGDatasetArrays(
         z=np.asarray(atomic_nums, dtype=np.int32),
         xyz=traj,
@@ -203,6 +221,8 @@ def build_dataset(
         cg_nbrs=cg_nbrs,
         cg_nbr_mask=cg_nbr_mask,
         n_cgs=n_cgs,
+        aux_bonds=aux_bonds,
+        aux_mask=aux_mask,
     )
 
 

@@ -146,3 +146,16 @@ def collect_runs(pattern: str) -> Dict[str, Dict[str, Tuple[float, float]]]:
         for d in sorted(glob.glob(pattern))
         if os.path.exists(os.path.join(d, "cv_stats.csv"))
     }
+
+
+def bond_length_distribution(
+    xyz: np.ndarray, bonds: np.ndarray
+) -> np.ndarray:
+    """Bonded-distance samples pooled over frames (reference bond-length
+    extraction, plots.py:120-136). xyz (T, N, 3), bonds (E, 2) -> (T*E,)."""
+    xyz = np.asarray(xyz)
+    d = np.linalg.norm(
+        xyz[:, np.asarray(bonds)[:, 0]] - xyz[:, np.asarray(bonds)[:, 1]],
+        axis=-1,
+    )
+    return d.reshape(-1)

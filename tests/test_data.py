@@ -118,3 +118,22 @@ def test_edges_receiver_sorted_invariant():
             flat = np.asarray(flatten_ids(jnp.asarray(local), stride)).reshape(-1, 2)
             recv = flat[:, 0]
             assert np.all(np.diff(recv) >= 0), "receiver column not sorted"
+
+
+def test_aux_edges_replace_bond_edges():
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=6, seed=0)
+    mapping = np.arange(z.shape[0]) % 3
+    ds = build_dataset(mapping, frames, 8.5, 9.5, z, bonds, order=2,
+                       rotate=False, aux_cutoff=3.0)
+    assert ds.aux_bonds is not None
+    batch = ds.batch(np.arange(2))
+    # per-frame aux edges, not the tiled static bond list
+    assert batch.bonds.shape[0] == 2
+    assert batch.bonds.shape[1] == ds.aux_bonds.shape[1]
+    # all real aux edges are within the cutoff
+    e = np.asarray(ds.aux_bonds[0][ds.aux_mask[0]])
+    d = np.linalg.norm(frames[0][e[:, 0]] - frames[0][e[:, 1]], axis=-1)
+    assert (d <= 3.0).all() and e.shape[0] > 0

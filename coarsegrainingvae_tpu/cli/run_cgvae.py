@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invariantdec", action="store_true", default=False)
     p.add_argument("--reflectiontest", action="store_true", default=False)
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--sparse", action="store_true", default=False,
+                   help="use the segment-sum formulation instead of the "
+                        "dense-regime flagship (DESIGN.md)")
     return p
 
 
@@ -129,7 +132,7 @@ def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
 
 def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
            graph_eval: bool = False, reflection: bool = False,
-           resume: bool = False) -> list:
+           resume: bool = False, sparse: bool = False) -> list:
     """The main CV loop (run_cv, run_ala.py:75-414). Returns cv rows."""
     os.makedirs(cfg.logdir, exist_ok=True)
     cfg.save(os.path.join(cfg.logdir, "modelparams.json"))
@@ -170,7 +173,13 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         ds_val = ds_train_full.subset(np.arange(n_val))
         ds_tr = ds_train_full.subset(np.arange(n_val, len(ds_train_full)))
 
-        model = CGequiVAE(cfg=cfg.model)
+        if sparse:
+            model = CGequiVAE(cfg=cfg.model)
+        else:
+            # dense-regime flagship: ~5.5x the segment-sum path at small
+            # system sizes (DESIGN.md measured ladder)
+            from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE
+            model = DenseCGVAE(cfg=cfg.model)
         trainer = Trainer(model, cfg)
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(cfg.data.batch_size, len(ds_tr)))),
@@ -262,7 +271,7 @@ def main(argv=None) -> list:
     return run_cv(
         cfg, n_ensemble=args.n_ensemble, nevals=args.nevals,
         graph_eval=args.graph_eval, reflection=args.reflectiontest,
-        resume=args.resume,
+        resume=args.resume, sparse=args.sparse,
     )
 
 

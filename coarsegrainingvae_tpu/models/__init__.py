@@ -41,3 +41,5 @@ from coarsegrainingvae_tpu.models.baseline import (
     SetEquiMLP,
     build_baseline,
 )
+from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE, DenseEquiMessagePseudo
+from coarsegrainingvae_tpu.models.dense import DenseFactoredEquiMessage

@@ -262,6 +262,7 @@ class Trainer:
         nepochs: Optional[int] = None,
         ckpt=None,
         resume: bool = False,
+        on_device: bool = True,
     ) -> Tuple[TrainState, list]:
         """Full training run with plateau LR + early stopping. Returns
         (final state, per-epoch history).
@@ -270,7 +271,11 @@ class Trainer:
         train state every cfg.train.checkpoint_every epochs (plus final);
         resume=True restarts from the latest checkpoint (epoch, controller
         and early-stop counters included) -- capability the reference lacks
-        (SURVEY.md section 5.4)."""
+        (SURVEY.md section 5.4).
+
+        on_device=True (default) moves both splits to HBM once and runs each
+        training epoch as ONE lax.scan (zero per-step host work); pass False
+        to stream batches from host (datasets too large for device memory)."""
         tc = self.cfg.train
         controller = LowessPlateauController(
             lr=tc.lr, factor=tc.lr_factor, patience=tc.lr_patience,
@@ -281,6 +286,18 @@ class Trainer:
         base_rng = jax.random.PRNGKey(self.cfg.data.seed)
         history = []
         start_epoch = 0
+
+        dds_train = dds_val = None
+        if on_device:
+            from coarsegrainingvae_tpu.data.device import DeviceDataset
+
+            # aux-edge datasets carry per-frame bond lists not represented in
+            # DeviceDataset; fall back to host streaming for those
+            if getattr(trainset, "aux_bonds", None) is None and len(
+                jax.devices()
+            ) == 1:
+                dds_train = DeviceDataset.from_dataset(trainset)
+                dds_val = DeviceDataset.from_dataset(valset)
 
         if resume and ckpt is not None and ckpt.latest_step() is not None:
             state, meta, _ = ckpt.restore(state)
@@ -294,13 +311,23 @@ class Trainer:
         for epoch in range(start_epoch, nepochs if nepochs is not None else tc.nepochs):
             t0 = time.time()
             epoch_rng = jax.random.fold_in(base_rng, epoch)
-            state, train_m = self.run_epoch(
-                state, trainset, epoch_rng, train=True, epoch=epoch,
-                shuffle_rng=shuffle_rng,
-            )
-            _, val_m = self.run_epoch(
-                state, valset, jax.random.fold_in(epoch_rng, 999), train=False,
-            )
+            if dds_train is not None:
+                state, train_m = self.run_epoch_scan(
+                    state, dds_train, epoch_rng, shuffle_rng=shuffle_rng,
+                )
+                _, val_m = self.run_epoch_device(
+                    state, dds_val, jax.random.fold_in(epoch_rng, 999),
+                    train=False,
+                )
+            else:
+                state, train_m = self.run_epoch(
+                    state, trainset, epoch_rng, train=True, epoch=epoch,
+                    shuffle_rng=shuffle_rng,
+                )
+                _, val_m = self.run_epoch(
+                    state, valset, jax.random.fold_in(epoch_rng, 999),
+                    train=False,
+                )
             smoothed = controller.step(val_m["loss"])
             state = self.set_lr(state, controller.lr)
             row = {

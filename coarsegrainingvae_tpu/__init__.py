@@ -14,3 +14,4 @@ from coarsegrainingvae_tpu import config as config
 from coarsegrainingvae_tpu import ops as ops
 from coarsegrainingvae_tpu import models as models
 from coarsegrainingvae_tpu import data as data
+from coarsegrainingvae_tpu.serve import Backmapper

@@ -36,6 +36,10 @@ class ModelConfig:
     det: bool = False           # deterministic AE mode (no sampling)
     equivariant: bool = True    # False -> linear "euclidean" head (cgvae.py:424)
     offset: bool = True         # COM re-centering constraint (cgvae.py:478-481)
+    # rsqrt(degree) message normalization: needed for numerical stability
+    # on large/high-degree graphs (spike-protein scale); the reference has
+    # no normalization (its graphs are small), so default False for parity
+    degree_norm: bool = False
     dropout: float = 0.0
     # compute dtype for dense-layer matmuls ("float32" or "bfloat16");
     # geometry (coordinates, distances, unit vectors) always stays float32.

@@ -27,22 +27,33 @@ def _binarize(x: np.ndarray) -> np.ndarray:
 
 
 def high_order_edges(edges: np.ndarray, order: int, n_atoms: int) -> np.ndarray:
-    """k-th power adjacency expansion (get_higher_order_adj_matrix,
-    data.py:25-40 + get_high_order_edge, datasets.py:447-457).
+    """All node pairs within graph distance <= order
+    (get_higher_order_adj_matrix, data.py:25-40 + get_high_order_edge,
+    datasets.py:447-457 semantics).
 
-    Returns upper-triangular (e, 2) int32 pairs of all node pairs within
-    graph distance <= order.
+    Sparse BFS over adjacency lists -- O(N * deg^order) -- instead of dense
+    (N, N) matrix powers, which at spike-protein scale (10k atoms) cost
+    minutes and GBs. Returns upper-triangular (e, 2) int32 pairs.
     """
-    adj = adjacency_from_edges(edges, n_atoms)
-    eye = np.eye(n_atoms, dtype=np.int64)
-    adj_mats = [eye, _binarize(adj + eye)]
-    for _ in range(2, order + 1):
-        adj_mats.append(_binarize(adj_mats[-1] @ adj_mats[1]))
-    order_mat = np.zeros_like(adj)
-    for i in range(1, order + 1):
-        order_mat += (adj_mats[i] - adj_mats[i - 1]) * i
-    pairs = np.argwhere(np.triu(order_mat) > 0)
-    return pairs.astype(np.int32)
+    nbrs: list = [[] for _ in range(n_atoms)]
+    for a, b in np.asarray(edges, dtype=np.int64):
+        nbrs[a].append(int(b))
+        nbrs[b].append(int(a))
+
+    out = []
+    for i in range(n_atoms):
+        frontier = {i}
+        seen = {i}
+        for _ in range(order):
+            frontier = {
+                k for j in frontier for k in nbrs[j] if k not in seen
+            }
+            seen |= frontier
+        out.extend((i, j) for j in seen if j > i)
+    if not out:
+        return np.zeros((0, 2), np.int32)
+    pairs = np.asarray(sorted(out), dtype=np.int32)
+    return pairs
 
 
 def channel_index_from_mapping(mapping: np.ndarray) -> np.ndarray:

@@ -113,6 +113,7 @@ class EquiEncoder(nn.Module):
     activation: str
     cutoff: float
     contract_cutoff: float = 20.0
+    degree_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +130,8 @@ class EquiEncoder(nn.Module):
         for i in range(self.n_conv):
             ds, dv = EquiMessageBlock(
                 feat_dim=self.feat_dim, activation=self.activation,
-                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+                n_rbf=self.n_rbf, cutoff=self.cutoff,
+                degree_norm=self.degree_norm, dtype=self.dtype,
             )(h, v, r_ij, g.nbrs, g.nbr_mask)
             h = h + ds
             v = v + dv
@@ -150,25 +152,32 @@ class EquiEncoder(nn.Module):
 
 class CGprior(nn.Module):
     """Conditional prior p(z | CG geometry) (cgvae.py:334-403): PaiNN convs
-    on the CG graph (bead-index embedding) -> mu, sigma heads."""
+    on the CG graph (bead-index embedding) -> mu, sigma heads.
+
+    The reference hard-codes a 100-entry bead-index embedding
+    (nn.Embedding(100, F)) -- fine for its <=12-bead runs, out-of-bounds
+    (silent NaN) beyond; here the vocab scales with n_cgs."""
 
     n_conv: int
     feat_dim: int
     n_rbf: int
     activation: str
     cutoff: float
+    degree_norm: bool = False
+    vocab: int = 100
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, g: FlatGraph) -> Tuple[Array, Array]:
-        h = EmbeddingZeroPad(100, self.feat_dim)(g.cg_z)
+        h = EmbeddingZeroPad(self.vocab, self.feat_dim)(g.cg_z)
         v = jnp.zeros((g.num_cg, 3, self.feat_dim), h.dtype)
         r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
 
         for _ in range(self.n_conv):
             ds, dv = EquiMessageBlock(
                 feat_dim=self.feat_dim, activation=self.activation,
-                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+                n_rbf=self.n_rbf, cutoff=self.cutoff,
+                degree_norm=self.degree_norm, dtype=self.dtype,
             )(h, v, r_ij, g.cg_nbrs, g.cg_nbr_mask)
             h = h + ds
             v = v + dv
@@ -189,6 +198,7 @@ class EquivariantDecoder(nn.Module):
     num_conv: int
     activation: str
     cross: bool = True
+    degree_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -201,7 +211,8 @@ class EquivariantDecoder(nn.Module):
         for i in range(self.num_conv):
             dH, dV = block(
                 feat_dim=self.feat_dim, activation=self.activation,
-                n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+                n_rbf=self.n_rbf, cutoff=self.cutoff,
+                degree_norm=self.degree_norm, dtype=self.dtype,
             )(H, V, r_ij, g.cg_nbrs, g.cg_nbr_mask)
             H = H + dH
             V = V + dV
@@ -343,11 +354,13 @@ class CGequiVAE(nn.Module):
         self.encoder = EquiEncoder(
             n_conv=c.enc_nconv, feat_dim=c.n_basis, n_rbf=c.n_rbf,
             activation=c.activation, cutoff=c.cg_cutoff,
-            contract_cutoff=c.contract_cutoff, dtype=dtype,
+            contract_cutoff=c.contract_cutoff, degree_norm=c.degree_norm,
+            dtype=dtype,
         )
         self.prior_net = CGprior(
             n_conv=c.enc_nconv, feat_dim=c.n_basis, n_rbf=c.n_rbf,
-            activation=c.activation, cutoff=c.cg_cutoff, dtype=dtype,
+            activation=c.activation, cutoff=c.cg_cutoff,
+            degree_norm=c.degree_norm, vocab=max(100, c.n_cgs), dtype=dtype,
         )
         if c.dec_type == "pseudo":
             self.dec = EquivariantPseudoDecoder(
@@ -359,7 +372,8 @@ class CGequiVAE(nn.Module):
             self.dec = EquivariantDecoder(
                 feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
                 num_conv=c.dec_nconv, activation=c.activation,
-                cross=(c.dec_type == "cross"), dtype=dtype,
+                cross=(c.dec_type == "cross"), degree_norm=c.degree_norm,
+                dtype=dtype,
             )
         elif c.dec_type == "en":
             self.dec = ENDecoder(

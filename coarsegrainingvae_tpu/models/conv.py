@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -80,6 +81,8 @@ class EquiMessageBlock(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    degree_norm: bool = False  # rsqrt(deg) message scaling for
+    # large/high-degree graphs (reference has none; its graphs are small)
     edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
@@ -112,6 +115,13 @@ class EquiMessageBlock(nn.Module):
                          indices_are_sorted=self.edges_sorted)
         ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
                          indices_are_sorted=self.edges_sorted)
+        if self.degree_norm:
+            ones = jnp.ones(edges.shape[0], ds.dtype)
+            deg = segment_sum(ones, edges[:, 0], num_nodes, edge_mask,
+                              indices_are_sorted=self.edges_sorted)
+            scale = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+            ds = ds * scale[:, None]
+            dv = dv * scale[:, None, None]
         return ds, dv
 
 
@@ -122,6 +132,8 @@ class EquiMessageCross(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    degree_norm: bool = False  # rsqrt(deg) message scaling for
+    # large/high-degree graphs (reference has none; its graphs are small)
     edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
@@ -160,6 +172,13 @@ class EquiMessageCross(nn.Module):
                          indices_are_sorted=self.edges_sorted)
         ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
                          indices_are_sorted=self.edges_sorted)
+        if self.degree_norm:
+            ones = jnp.ones(edges.shape[0], ds.dtype)
+            deg = segment_sum(ones, edges[:, 0], num_nodes, edge_mask,
+                              indices_are_sorted=self.edges_sorted)
+            scale = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+            ds = ds * scale[:, None]
+            dv = dv * scale[:, None, None]
         return ds, dv
 
 
@@ -236,6 +255,7 @@ class ENMessageBlock(nn.Module):
     activation: str
     n_rbf: int
     cutoff: float
+    degree_norm: bool = False
     edges_sorted: bool = True  # data pipeline emits receiver-sorted
     dtype: jnp.dtype = jnp.float32
 
@@ -267,6 +287,13 @@ class ENMessageBlock(nn.Module):
                          indices_are_sorted=self.edges_sorted)
         ds = segment_sum(ds_ij, edges[:, 0], num_nodes, edge_mask,
                          indices_are_sorted=self.edges_sorted)
+        if self.degree_norm:
+            ones = jnp.ones(edges.shape[0], ds.dtype)
+            deg = segment_sum(ones, edges[:, 0], num_nodes, edge_mask,
+                              indices_are_sorted=self.edges_sorted)
+            scale = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+            ds = ds * scale[:, None]
+            dv = dv * scale[:, None, None]
         return ds, dv
 
 

@@ -187,7 +187,9 @@ class DenseCGVAE(nn.Module):
             V = V + dV
 
         # --------------------------------------------------------- prior
-        Hp = EmbeddingZeroPad(100, f)(batch.cg_z)
+        # bead-index vocab scales with n_cgs (the reference's fixed 100
+        # overflows silently past 100 beads)
+        Hp = EmbeddingZeroPad(max(100, m), f)(batch.cg_z)
         Vp = jnp.zeros((b, m, 3, f), Hp.dtype)
         for _ in range(c.enc_nconv):
             dH, dV = DenseFactoredEquiMessage(

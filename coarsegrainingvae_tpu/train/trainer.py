@@ -78,6 +78,17 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, batch: CGBatch, seed: int = 123) -> TrainState:
+        # the per-bead channel lift reads vector channel `channel_idx[i]` of
+        # the bead (cgvae.py:473 in the reference): every bead needs at most
+        # n_basis atoms, or the gather runs out of bounds (silent garbage)
+        max_ch = int(np.asarray(batch.channel_idx).max())
+        n_basis = self.cfg.model.n_basis
+        if max_ch >= n_basis:
+            raise ValueError(
+                f"largest CG bead has {max_ch + 1} atoms but n_basis="
+                f"{n_basis}; the channel lift needs n_basis >= atoms-per-"
+                f"bead -- raise n_basis or use more CG beads"
+            )
         rng = jax.random.PRNGKey(seed)
         params = self.model.init(
             {"params": rng, "sample": jax.random.fold_in(rng, 1)}, batch

@@ -94,3 +94,28 @@ def test_model_forward_golden_deterministic():
                        rngs={"sample": jax.random.PRNGKey(7)})
     _, dmetrics = vae_loss(dout, g, beta=0.05, gamma=1.0)
     assert 0.1 < float(dmetrics["recon"]) < 10.0, dmetrics
+
+
+def test_prior_vocab_scales_beyond_100_beads():
+    """The reference's fixed 100-entry bead-index embedding silently NaNs
+    past 100 beads (nn.Embedding OOB); our vocab scales with n_cgs."""
+    rng = np.random.default_rng(0)
+    n = 600
+    xyz0 = np.cumsum(rng.normal(size=(n, 3)).astype(np.float32), 0)
+    frames = xyz0[None]
+    z = rng.choice([6, 7, 8], size=n).astype(np.int32)
+    bonds = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    mapping = (np.arange(n) * 150 // n).astype(np.int32)  # 150 beads > 100
+    ds = build_dataset(mapping, frames, 4.5, 12.0, z, bonds, order=1,
+                       rotate=False)
+    cfg = ModelConfig(n_cgs=150, n_basis=16, n_rbf=4, atom_cutoff=4.5,
+                      cg_cutoff=12.0, enc_nconv=1, dec_nconv=1,
+                      dec_type="cross", degree_norm=True)
+    model = CGequiVAE(cfg=cfg)
+    batch = ds.batch(np.arange(1))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)}, batch)["params"]
+    out = model.apply({"params": params}, batch,
+                      rngs={"sample": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out.prior_sigma)).all()
+    assert np.isfinite(np.asarray(out.xyz_recon)).all()

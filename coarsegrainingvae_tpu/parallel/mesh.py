@@ -35,7 +35,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place a CGBatch (pytree of (B, ...) arrays) with the batch axis split
     across the mesh. Per-device transfer; XLA inserts any needed collectives
-    downstream."""
+    downstream.
+
+    Batches whose leading axis does not divide the mesh (e.g. ensemble
+    sampling with n_ensemble < n_devices) are replicated instead -- correct,
+    just without data parallelism for that call."""
+    n_dev = mesh.devices.size
+    leaves = jax.tree.leaves(batch)
+    if leaves and any(l.shape[0] % n_dev != 0 for l in leaves):
+        return jax.device_put(batch, replicated_sharding(mesh))
     return jax.device_put(batch, batch_sharding(mesh, axis))
 
 

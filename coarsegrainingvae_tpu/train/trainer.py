@@ -171,13 +171,25 @@ class Trainer:
     def _epoch_scan_impl(self, state: TrainState, dds, idx_batches, rng):
         """One WHOLE epoch as a single XLA program: lax.scan over the
         (S, B) index batches. No per-step Python dispatch; metrics come
-        back stacked (S, ...)."""
+        back stacked (S, ...).
+
+        On a multi-device mesh, the gathered batch is constrained to the
+        ('data',) sharding inside the step -- XLA shards the model forward/
+        backward over the batch axis and all-reduces gradients over ICI,
+        exactly as the host-streaming path does."""
+        from coarsegrainingvae_tpu.parallel.mesh import batch_sharding
+
+        multi = self.mesh.devices.size > 1
+        sharding = batch_sharding(self.mesh) if multi else None
 
         def step(carry, inp):
             st = carry
             i, idx = inp
+            batch = dds.gather(idx)
+            if sharding is not None:
+                batch = jax.lax.with_sharding_constraint(batch, sharding)
             st, metrics = self._train_step_impl(
-                st, dds.gather(idx), jax.random.fold_in(rng, i)
+                st, batch, jax.random.fold_in(rng, i)
             )
             return st, metrics
 
@@ -303,10 +315,15 @@ class Trainer:
             from coarsegrainingvae_tpu.data.device import DeviceDataset
 
             # aux-edge datasets carry per-frame bond lists not represented in
-            # DeviceDataset; fall back to host streaming for those
-            if getattr(trainset, "aux_bonds", None) is None and len(
-                jax.devices()
-            ) == 1:
+            # DeviceDataset; fall back to host streaming for those. On a
+            # multi-device mesh the scan step constrains the gathered batch
+            # to the ('data',) sharding (see _epoch_scan_impl); the batch
+            # size must divide the mesh for that split to be even.
+            mesh_ok = (
+                self.mesh.devices.size == 1
+                or self.cfg.data.batch_size % self.mesh.devices.size == 0
+            )
+            if getattr(trainset, "aux_bonds", None) is None and mesh_ok:
                 dds_train = DeviceDataset.from_dataset(trainset)
                 dds_val = DeviceDataset.from_dataset(valset)
 

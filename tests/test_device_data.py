@@ -86,3 +86,28 @@ def test_nearest_site_mapping():
     frames[:, 4] = [9.8, 0, 0]
     m = nearest_site_mapping(frames, np.array([0, 2]))
     np.testing.assert_array_equal(m, [0, 0, 1, 1, 1])
+
+
+def test_scan_epoch_multidevice_matches_single():
+    """Epoch-as-one-jit on an 8-device mesh: same final params as the
+    single-device scan (gradient all-reduce over the mesh is exact for
+    full batches)."""
+    cfg, ds = _setup()
+    dds = DeviceDataset.from_dataset(ds)
+    model = CGequiVAE(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+
+    t1 = Trainer(model, cfg, mesh=make_mesh(1))
+    s1 = t1.init_state(ds.batch(np.arange(8)), seed=0)
+    s1, m1 = t1.run_epoch_scan(s1, dds, rng, shuffle_rng=np.random.default_rng(5))
+
+    t8 = Trainer(model, cfg, mesh=make_mesh(8))
+    s8 = t8.init_state(ds.batch(np.arange(8)), seed=0)
+    s8, m8 = t8.run_epoch_scan(s8, dds, rng, shuffle_rng=np.random.default_rng(5))
+
+    np.testing.assert_allclose(m8["loss"], m1["loss"], rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(s8.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)

@@ -125,9 +125,24 @@ def main(argv=None):
             state.params, ds_test.batch(np.arange(min(8, len(ds_test)))),
             jax.random.PRNGKey(a.seed),
         )
-        np.save(os.path.join(split_dir, "test_samples.npy"),
-                np.asarray(jax.device_get(xs)))
-        row = {"fold": fold, **{f"test_{k}": v for k, v in test_m.items()}}
+        samples = np.asarray(jax.device_get(xs))
+        np.save(os.path.join(split_dir, "test_samples.npy"), samples)
+
+        # sample-quality metrics (valid ratio / GED vs the covalent bond
+        # graph, run_diffpool.py:46-113 of the reference)
+        from coarsegrainingvae_tpu.eval.metrics import evaluate_samples
+
+        ref_xyz = np.asarray(ds_test.xyz[0])
+        ref_xyz = ref_xyz - ref_xyz.mean(0, keepdims=True)
+        q = evaluate_samples(ref_xyz, samples, z)
+        row = {
+            "fold": fold,
+            **{f"test_{k}": v for k, v in test_m.items()},
+            "sample_valid_ratio": q["valid_ratio"],
+            "sample_allatom_valid_ratio": q["valid_allatom_ratio"],
+            "sample_ged": q["graph_val_ratio"],
+            "sample_allatom_ged": q["graph_allatom_val_ratio"],
+        }
         all_rows.append(row)
         CSVLogger(os.path.join(logdir, "cv_stats.csv")).log(row)
     return all_rows

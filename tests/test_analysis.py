@@ -107,3 +107,36 @@ def test_hch_metric_ideal_tetrahedron_is_zero():
     bad = xyz.copy()
     bad[0, 1] = [0.1, 0.1, 1.0]
     assert compute_hch(bad, tetra) > 1e-3
+
+
+def test_step_timer_and_compile_timing():
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.utils.profiling import StepTimer, save_runtime, time_compile
+
+    t = StepTimer(warmup=1)
+    t.start()
+    for _ in range(4):
+        _time.sleep(0.01)
+        t.tick()
+    s = t.summary(items_per_step=32)
+    assert s["steps"] == 3
+    assert 0.005 < s["mean_s"] < 0.1
+    assert s["items_per_s"] > 0
+
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    stats = time_compile(f, jnp.ones((64, 64)))
+    assert stats["first_call_s"] >= stats["steady_s"] >= 0
+
+
+def test_save_runtime(tmp_path):
+    import json
+
+    from coarsegrainingvae_tpu.utils.profiling import save_runtime
+
+    p = str(tmp_path / "rt.json")
+    save_runtime(12.5, p)
+    assert json.load(open(p))["wall_clock_s"] == 12.5

@@ -248,6 +248,57 @@ class Trainer:
         out["n_steps"] = batches.shape[0]
         return state, out
 
+    def run_epoch_streamed(
+        self,
+        state: TrainState,
+        dataset: CGDatasetArrays,
+        rng: jax.Array,
+        chunk_frames: int,
+        shuffle_rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Epoch over a dataset too large for HBM: frames stream in chunks,
+        each chunk trains as one lax.scan while the NEXT chunk's transfer is
+        already in flight (jax.device_put is asynchronous, so host->device
+        copy overlaps the previous chunk's compute).
+
+        chunk_frames should be a multiple of the batch size; the tail chunk
+        cycles as usual."""
+        from coarsegrainingvae_tpu.data.device import DeviceDataset
+
+        batch_size = self.cfg.data.batch_size
+        order = np.arange(len(dataset))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        chunks = [
+            order[lo : lo + chunk_frames]
+            for lo in range(0, len(order), chunk_frames)
+            if len(order) - lo >= batch_size or lo == 0
+        ]
+
+        agg: Dict[str, list] = {}
+        n_steps = 0
+        next_dds = DeviceDataset.from_dataset(dataset.subset(chunks[0]))
+        for c in range(len(chunks)):
+            dds = next_dds
+            if c + 1 < len(chunks):
+                # enqueue the next chunk's transfer before compute
+                next_dds = DeviceDataset.from_dataset(
+                    dataset.subset(chunks[c + 1])
+                )
+            state, m = self.run_epoch_scan(
+                state, dds, jax.random.fold_in(rng, c), shuffle_rng=None,
+            )
+            steps = m.pop("n_steps")
+            n_steps += steps
+            for k, v in m.items():
+                agg.setdefault(k, []).append((v, steps))
+        out = {
+            k: float(sum(v * w for v, w in vs) / sum(w for _, w in vs))
+            for k, vs in agg.items()
+        }
+        out["n_steps"] = n_steps
+        return state, out
+
     # ------------------------------------------------------------- epoch loop
     def run_epoch(
         self,

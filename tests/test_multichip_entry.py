@@ -1,0 +1,71 @@
+"""Driver contract: dryrun_multichip must self-provision a virtual mesh.
+
+Round 1 shipped MULTICHIP_r01.json ok=false because the driver process came
+up with a single device and __graft_entry__ asserted instead of provisioning.
+These tests simulate exactly that environment (a fresh process with ONE jax
+device) and require the dry run to succeed by re-execing onto a virtual
+CPU mesh.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_like_env():
+    """A process env with a single CPU device (no forced device count)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env.pop("_CGVAE_DRYRUN_SUBPROCESS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cgvae_tpu_xla_cache")
+    return env
+
+
+def test_dryrun_multichip_self_provisions_mesh():
+    """dryrun_multichip(4) from a 1-device process must pass (driver path)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+            "import __graft_entry__ as g; g.dryrun_multichip(4)",
+        ],
+        cwd=REPO,
+        env=_driver_like_env(),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:]
+    assert "dryrun_multichip(4) ok" in proc.stdout, proc.stdout[-4000:]
+
+
+def test_dryrun_multichip_propagates_failure():
+    """A failing subprocess body must surface as a nonzero rc, not silence."""
+    env = _driver_like_env()
+    # poison the subprocess re-exec: claim we're already in the subprocess
+    # while only 1 device exists -> the body's device assert must fire and
+    # the failure must propagate out as a nonzero exit code.
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import os; os.environ['_CGVAE_DRYRUN_SUBPROCESS'] = '1'; "
+            "import __graft_entry__ as g; g.dryrun_multichip(4)",
+        ],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "need 4 devices" in proc.stdout

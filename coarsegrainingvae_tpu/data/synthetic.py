@@ -38,8 +38,12 @@ def _base_geometry(n_heavy: int, rng: np.random.Generator):
     direction = np.array([1.0, 0.0, 0.0])
     up = np.array([0.0, 1.0, 0.0])
     for i in range(1, n_heavy):
-        # alternate bond direction to make a tetrahedral zig-zag
-        ang = _TET / 2 if i % 2 == 0 else -_TET / 2
+        # alternate bond direction to make a tetrahedral zig-zag: +/-(pi-TET)/2
+        # off the chain axis gives vertex bond angles of TET (109.5 deg), so
+        # heavy 1-3 distances sit at 2.48 A, well OUTSIDE the 1.77 A covalent
+        # cutoff (the former +/-TET/2 compressed angles to 70.5 deg -> 1.75 A,
+        # structurally inside the cutoff)
+        ang = (np.pi - _TET) / 2 if i % 2 == 0 else -(np.pi - _TET) / 2
         c, s = np.cos(ang), np.sin(ang)
         d = c * direction + s * up
         d = d / np.linalg.norm(d)
@@ -90,17 +94,116 @@ def _downstream_atoms(bonds: np.ndarray, n_atoms: int, i: int, j: int) -> np.nda
     return np.array(sorted(out), dtype=np.int64)
 
 
+def _bond_masks(z: np.ndarray, bonds: np.ndarray, scale: float = 1.3):
+    """(bonded+diag mask (N,N), covalent cutoff matrix (N,N))."""
+    from coarsegrainingvae_tpu.eval.metrics import COVALENT_RADII
+
+    n = z.shape[0]
+    r = np.array([COVALENT_RADII[int(s)] for s in z], np.float64)
+    cutoff = scale * (r[:, None] + r[None, :])
+    bonded = np.eye(n, dtype=bool)
+    bonded[bonds[:, 0], bonds[:, 1]] = True
+    bonded[bonds[:, 1], bonds[:, 0]] = True
+    return bonded, cutoff
+
+
+def graph_violations(
+    z: np.ndarray, frames: np.ndarray, bonds: np.ndarray, band: float = 1.0
+) -> np.ndarray:
+    """Per-frame count of bond-graph disagreements with the topology under
+    the covalent-cutoff rule (reference scripts/sampling.py:158-194).
+    band > 1 demands a safety margin on both sides of the cutoff."""
+    bonded, cutoff = _bond_masks(z, bonds)
+    x = np.asarray(frames, np.float64)
+    d = np.sqrt(((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1))
+    np.einsum("fii->fi", d)[:] = 1e9
+    nb_bad = (d < cutoff[None] * band) & ~bonded
+    bi, bj = bonds[:, 0], bonds[:, 1]
+    bond_bad = d[:, bi, bj] > cutoff[bi, bj] / band
+    return nb_bad.sum((1, 2)) // 2 + bond_bad.sum(1)
+
+
+def relax_frames(
+    z: np.ndarray,
+    frames: np.ndarray,
+    bonds: np.ndarray,
+    rest: np.ndarray,
+    margin: float = 1.15,
+    step: float = 0.2,
+    n_iter: int = 300,
+) -> np.ndarray:
+    """Steepest-descent on a bond + soft-sphere potential so every frame's
+    covalent-distance bond graph equals the intended topology.
+
+    Why: the reference's headline metric is EXACT bond-graph match against
+    covalent cutoffs 1.3*(r_i+r_j) (reference scripts/sampling.py:158-194);
+    raw torsion-sampled stand-in conformers contain steric clashes that make
+    that metric structurally zero. Energy terms:
+      bonds:      (d_ij - rest_ij)^2         -> keeps real bonds inside cutoff
+      non-bonded: max(margin*cutoff - d, 0)^2 -> pushes clashes outside cutoff
+    Runs as one jitted fixed-iteration loop per frame chunk (static shapes;
+    decaying step damps oscillation). frames: (F, N, 3); returns a copy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bonded, cutoff = _bond_masks(z, bonds)
+    nb_target = jnp.asarray(margin * cutoff * (~bonded), jnp.float32)
+    bi = jnp.asarray(bonds[:, 0])
+    bj = jnp.asarray(bonds[:, 1])
+    rest_j = jnp.asarray(rest, jnp.float32)
+    eye = jnp.eye(z.shape[0], dtype=jnp.float32)
+
+    @jax.jit
+    def run(x0):
+        def body(it, x):
+            diff = x[:, :, None, :] - x[:, None, :, :]
+            d = jnp.sqrt((diff**2).sum(-1) + eye)
+            nb_viol = jnp.maximum(nb_target[None] - d, 0.0)
+            force = ((nb_viol / d)[..., None] * diff).sum(2)
+            dbond = d[:, bi, bj]
+            fb = ((dbond - rest_j) / dbond)[..., None] * diff[:, bi, bj]
+            force = force.at[:, bi].add(-fb).at[:, bj].add(fb)
+            lr = step / (1.0 + 0.02 * it)
+            return x + lr * force
+
+        return jax.lax.fori_loop(0, n_iter, body, x0)
+
+    n = z.shape[0]
+    f_total = frames.shape[0]
+    # pow2 chunks: bounded set of jitted shapes across calls/retry rounds
+    chunk = max(1, min(2048, (1 << 22) // (n * n)))
+    chunk = min(chunk, 1 << max(0, f_total - 1).bit_length())
+    out = np.empty((f_total, n, 3), np.float64)
+    for s in range(0, f_total, chunk):
+        block = np.asarray(frames[s : s + chunk], np.float32)
+        pad = chunk - block.shape[0]
+        if pad:  # keep the jitted shape static across chunks
+            block = np.concatenate([block, block[-1:].repeat(pad, 0)], 0)
+        out[s : s + chunk] = np.asarray(run(jnp.asarray(block)), np.float64)[
+            : chunk - pad if pad else chunk
+        ]
+    return out
+
+
 def synthetic_peptide(
     name: str = "dipeptide",
     n_frames: int = 2000,
     seed: int = 123,
     jitter: float = 0.04,
+    torsion_diversity: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Generate (atomic_nums (N,), frames (F,N,3) Angstrom, bonds (Eb,2)).
 
     Frames are conformers of one fixed topology: torsions of rotatable
     backbone bonds are drawn per frame from 3 Gaussian basins (trans/gauche+/
-    gauche-), then Cartesian thermal noise is added.
+    gauche-), plus Cartesian thermal noise, then relaxed (relax_frames) so
+    the covalent-cutoff bond graph of every frame equals the bonded topology
+    -- making exact-match validity metrics meaningful on this stand-in data.
+
+    torsion_diversity=False skips basin sampling: frames are jitter-only
+    perturbations of the base conformer (an easy, nearly unimodal ensemble
+    for fast-converging smoke tests).
     """
     if name not in _PRESETS:
         raise KeyError(f"unknown synthetic preset {name!r}; have {sorted(_PRESETS)}")
@@ -108,32 +211,89 @@ def synthetic_peptide(
     z, base, bonds, rotatable = _base_geometry(_PRESETS[name]["n_heavy"], rng)
     n_atoms = base.shape[0]
 
+    # relax the base conformer first: its bond lengths become the rest
+    # lengths every frame is restrained to
+    rest0 = np.linalg.norm(base[bonds[:, 0]] - base[bonds[:, 1]], axis=-1)
+    base = relax_frames(z, base[None], bonds, rest0)[0]
+    rest = np.linalg.norm(base[bonds[:, 0]] - base[bonds[:, 1]], axis=-1)
+
     downstream = [
         _downstream_atoms(bonds, n_atoms, i, j) for (i, j) in rotatable
     ]
     basins = np.deg2rad(np.array([180.0, 60.0, -60.0]))
+    # trans-biased so long chains start mostly clash-free (relaxation below
+    # only has local work to do)
+    basin_p = np.array([0.5, 0.25, 0.25])
     basin_width = np.deg2rad(15.0)
 
-    frames = np.empty((n_frames, n_atoms, 3), dtype=np.float32)
-    for f in range(n_frames):
-        xyz = base.copy()
-        for (i, j), ds in zip(rotatable, downstream):
-            angle = basins[rng.integers(0, 3)] + rng.normal() * basin_width
-            axis = xyz[j] - xyz[i]
-            axis = axis / np.linalg.norm(axis)
-            c, s = np.cos(angle), np.sin(angle)
-            K = np.array(
-                [
-                    [0, -axis[2], axis[1]],
-                    [axis[2], 0, -axis[0]],
-                    [-axis[1], axis[0], 0],
-                ]
-            )
-            R = np.eye(3) + s * K + (1 - c) * (K @ K)
-            xyz[ds] = (xyz[ds] - xyz[j]) @ R.T + xyz[j]
-        xyz += rng.normal(scale=jitter, size=xyz.shape)
-        frames[f] = xyz - xyz.mean(axis=0, keepdims=True)
+    bonded_mask, cutoff = _bond_masks(z, bonds)
+    clash_cut = 1.05 * cutoff * ~bonded_mask  # nonbonded pairs only
 
+    def _rotate(xyz, i, j, ds, angle):
+        axis = xyz[j] - xyz[i]
+        axis = axis / np.linalg.norm(axis)
+        c, s = np.cos(angle), np.sin(angle)
+        K = np.array(
+            [
+                [0, -axis[2], axis[1]],
+                [axis[2], 0, -axis[0]],
+                [-axis[1], axis[0], 0],
+            ]
+        )
+        R = np.eye(3) + s * K + (1 - c) * (K @ K)
+        out = xyz.copy()
+        out[ds] = (xyz[ds] - xyz[j]) @ R.T + xyz[j]
+        return out
+
+    def sample_frame() -> np.ndarray:
+        if not torsion_diversity:
+            return base + rng.normal(scale=jitter, size=base.shape)
+        return _grow_frame()
+
+    def _grow_frame() -> np.ndarray:
+        """Greedy self-avoiding growth: torsions are set in chain order; at
+        each bond the finalized segment (atoms whose relative geometry no
+        later torsion can change) is clash-checked against earlier atoms and
+        the first non-clashing basin (random order, trans-biased) wins."""
+        xyz = base.copy()
+        all_atoms = np.arange(n_atoms)
+        for k, ((i, j), ds) in enumerate(zip(rotatable, downstream)):
+            nxt = downstream[k + 1] if k + 1 < len(downstream) else []
+            final = np.setdiff1d(all_atoms, nxt)  # finalized after this bond
+            new = np.intersect1d(ds, final)  # just-finalized segment
+            order = rng.choice(3, size=3, replace=False, p=basin_p)
+            best, best_clash = None, np.inf
+            for b in order:
+                angle = basins[b] + rng.normal() * basin_width
+                cand = _rotate(xyz, i, j, ds, angle)
+                d = np.linalg.norm(
+                    cand[new][:, None, :] - cand[final][None, :, :], axis=-1
+                )
+                n_clash = int((d < clash_cut[np.ix_(new, final)]).sum())
+                if n_clash == 0:
+                    best = cand
+                    break
+                if n_clash < best_clash:
+                    best, best_clash = cand, n_clash
+            xyz = best
+        return xyz + rng.normal(scale=jitter, size=xyz.shape)
+
+    frames = np.empty((n_frames, n_atoms, 3), dtype=np.float64)
+    for f in range(n_frames):
+        frames[f] = sample_frame()
+    frames = relax_frames(z, frames, bonds, rest)
+
+    # resample-and-relax the stragglers the descent could not untangle
+    for _ in range(4):
+        bad = np.flatnonzero(graph_violations(z, frames, bonds, band=1.02))
+        if bad.size == 0:
+            break
+        for f in bad:
+            frames[f] = sample_frame()
+        frames[bad] = relax_frames(z, frames[bad], bonds, rest)
+
+    frames = frames.astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
     return z, frames, bonds
 
 

@@ -1,0 +1,102 @@
+"""Bond-graph validity on physically-valid synthetic geometry.
+
+Round-1 weakness: the stand-in ensembles put non-bonded atoms inside the
+1.3x covalent cutoffs, making the reference's headline exact-match validity
+metric (reference scripts/sampling.py:170-194) structurally zero. These
+tests pin the fix: every generated frame's covalent-distance bond graph
+must EQUAL the intended bonded topology, and a trained model's
+reconstructions must score nonzero validity.
+"""
+import numpy as np
+import pytest
+
+
+def _topology_graph(z, bonds):
+    n = z.shape[0]
+    topo = np.zeros((n, n), np.int8)
+    topo[bonds[:, 0], bonds[:, 1]] = 1
+    topo[bonds[:, 1], bonds[:, 0]] = 1
+    return topo
+
+
+@pytest.mark.parametrize(
+    "name,n_frames",
+    [("dipeptide", 16), ("pentapeptide", 4), ("chignolin", 2)],
+)
+def test_synthetic_frames_match_topology(name, n_frames):
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.eval.metrics import bond_graphs_batch
+
+    z, frames, bonds = synthetic_peptide(name, n_frames=n_frames, seed=11)
+    graphs = bond_graphs_batch(frames, z)
+    topo = _topology_graph(z, bonds)
+    assert (graphs == topo[None]).all(), (
+        f"{name}: {(graphs != topo[None]).any((1, 2)).sum()}/{n_frames} "
+        "frames disagree with the bonded topology under covalent cutoffs"
+    )
+
+
+def test_evaluate_samples_validity_one_on_truth():
+    """The ensemble scored against one of its own frames must be 100% valid
+    with finite RMSDs (the structural-zero regression guard)."""
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.eval.metrics import evaluate_samples
+
+    z, frames, _ = synthetic_peptide("dipeptide", n_frames=16, seed=3)
+    m = evaluate_samples(frames[0], frames, z)
+    assert m["valid_ratio"] == 1.0
+    assert m["valid_allatom_ratio"] == 1.0
+    assert np.isfinite(m["all_rmsds"]).all()
+    assert m["graph_allatom_val_ratio"] == 0.0
+
+
+def test_trained_recon_validity_nonzero():
+    """End-to-end: a model trained on the (easy, jitter-only) ensemble
+    produces reconstructions whose heavy-atom bond graph matches.
+
+    gamma=0 here is an optimization-speed choice for the unit test only:
+    under the reference recipe (gamma=25 with grad clip 0.01,
+    reference scripts/utils.py:141,156) the graph term consumes the clipped
+    gradient budget and validity needs hundreds of epochs; the flagship CLI
+    keeps the faithful recipe.
+    """
+    import jax
+
+    from coarsegrainingvae_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.mappings import get_mapping
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.eval.sampling import reconstruct_all
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    z, frames, bonds = synthetic_peptide(
+        "dipeptide", n_frames=64, seed=0, jitter=0.02, torsion_diversity=False
+    )
+    mapping = get_mapping("newman", 3, z.shape[0], bonds=bonds, frames=frames, seed=0)
+    ds = build_dataset(
+        mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,
+        bonds=bonds, order=2, rotate=False,
+    )
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=3, n_basis=128, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
+            enc_nconv=3, dec_nconv=3, activation="swish", dec_type="pseudo",
+            breaksym=True,
+        ),
+        data=DataConfig(batch_size=32),
+        train=TrainConfig(lr=5e-4, beta=1e-4, gamma=0.0),
+    )
+    tr = Trainer(CGequiVAE(cfg=cfg.model), cfg)
+    train = ds.subset(np.arange(64))
+    state = tr.init_state(ds.batch(np.arange(32)), seed=0)
+    state, _ = tr.fit(state, train, train, nepochs=40)
+    out = reconstruct_all(tr, state.params, train, jax.random.PRNGKey(0))
+    assert out["heavy_valid_ratio"] > 0.05, out
+    assert np.isfinite(out["all_atom_rmsd"])
+    assert out["all_atom_rmsd"] < 1.3, out["all_atom_rmsd"]

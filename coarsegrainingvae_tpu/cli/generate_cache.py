@@ -3,18 +3,23 @@
 Counterpart of the reference's generate_pkl.py (scripts/generate_pkl.py:12-44
 in /root/reference), which pre-parses SidechainNet pickles. Here:
 
-  * proteins:  a pickle of {'seq': [...], 'crd': [...]} -> padded PCN arrays
-               saved as npz (skips the per-item parse at train time)
+  * proteins:  a pickle of {'seq': [...], 'crd': [...]} OR a directory of
+               .pdb files (CASP14-style targets, parsed by utils/pdb.py)
+               -> padded PCN arrays saved as npz (skips the per-item parse
+               at train time)
   * trajectory: any (z, xyz, bonds) npz is already the native cache format
                (data/proteins.py); this tool validates + re-compresses it.
 
 Usage:
     python -m coarsegrainingvae_tpu.cli.generate_cache -kind protein \
         -src casp12.pkl -out casp12_cache.npz
+    python -m coarsegrainingvae_tpu.cli.generate_cache -kind protein \
+        -src casp14_targets/ -out casp14_cache.npz
 """
 from __future__ import annotations
 
 import argparse
+import os
 import pickle
 
 import numpy as np
@@ -23,9 +28,15 @@ import numpy as np
 def cache_proteins(src: str, out: str, cutoff: float = 10.0) -> None:
     from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
 
-    with open(src, "rb") as f:
-        d = pickle.load(f)
-    ds = build_pcn_dataset(list(zip(d["seq"], d["crd"])), cg_cutoff=cutoff)
+    if os.path.isdir(src):
+        from coarsegrainingvae_tpu.utils.pdb import load_pdb_dir
+
+        items = [(seq, crd) for _, seq, crd in load_pdb_dir(src)]
+    else:
+        with open(src, "rb") as f:
+            d = pickle.load(f)
+        items = list(zip(d["seq"], d["crd"]))
+    ds = build_pcn_dataset(items, cg_cutoff=cutoff)
     arrays = {
         k: getattr(ds, k)
         for k in ("z", "xyz", "atom_mask", "res_idx", "ca_xyz", "cg_mask",

@@ -134,3 +134,67 @@ def test_write_pdb_roundtrip(tmp_path, pcn_data):
     x = float(atoms[0][30:38]); y = float(atoms[0][38:46]); z = float(atoms[0][46:54])
     np.testing.assert_allclose([x, y, z], p.xyz[0], atol=1e-3)
     assert any(l.startswith("SEQRES") for l in lines)
+
+
+def test_parse_pdb_full_roundtrip(tmp_path):
+    """write_pdb -> parse_pdb recovers seq and the full atom14 layout
+    (covers the reference's CASP14 ingestion, sidechain.py:334-396)."""
+    from coarsegrainingvae_tpu.utils.pdb import parse_pdb
+
+    seq, crd = synthetic_protein(8, seed=5, missing_frac=0.2)
+    p = protein_props(seq, crd)
+    path = str(tmp_path / "prot.pdb")
+    write_pdb(path, seq, p.xyz, p.mapping, p.channel_idx)
+    seq2, crd2 = parse_pdb(path)
+    assert seq2 == seq
+    assert crd2.shape == crd.shape
+    # PDB stores 3 decimals; missing atoms stay exactly zero on both sides
+    np.testing.assert_allclose(crd2, crd, atol=2e-3)
+    # and props rebuilt from the parsed structure match the originals
+    p2 = protein_props(seq2, crd2)
+    assert np.array_equal(p2.z, p.z)
+    assert np.array_equal(p2.mapping, p.mapping)
+    assert np.array_equal(p2.channel_idx, p.channel_idx)
+    np.testing.assert_allclose(p2.ca_xyz, p.ca_xyz, atol=2e-3)
+
+
+def test_parse_pdb_skips_offlayout_records(tmp_path):
+    """Hydrogens, OXT, altloc B, HETATM and model 2 must be ignored."""
+    from coarsegrainingvae_tpu.utils.pdb import parse_pdb
+
+    pdb = "\n".join([
+        "TITLE     synthetic",
+        "ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00           N",
+        "ATOM      2  CA  ALA A   1      11.000  10.000  10.000  1.00  0.00           C",
+        "ATOM      3  CA BALA A   1      99.000  99.000  99.000  1.00  0.00           C",
+        "ATOM      4  HA  ALA A   1      12.000  12.000  12.000  1.00  0.00           H",
+        "ATOM      5  OXT ALA A   1      13.000  13.000  13.000  1.00  0.00           O",
+        "HETATM    6  O   HOH A   2      14.000  14.000  14.000  1.00  0.00           O",
+        "ENDMDL",
+        "ATOM      7  C   ALA A   1      15.000  15.000  15.000  1.00  0.00           C",
+        "END",
+    ])
+    path = str(tmp_path / "mixed.pdb")
+    open(path, "w").write(pdb + "\n")
+    seq, crd = parse_pdb(path)
+    assert seq == "A"
+    np.testing.assert_allclose(crd[0, 0], [10.0, 10.0, 10.0])
+    np.testing.assert_allclose(crd[0, 1], [11.0, 10.0, 10.0])  # altloc A kept
+    assert (crd[0, 2] == 0).all()  # model-2 C never read
+
+
+def test_generate_cache_from_pdb_dir(tmp_path):
+    """The cache CLI accepts a directory of PDB files (CASP14 flow)."""
+    from coarsegrainingvae_tpu.cli.generate_cache import main as cache_main
+
+    d = tmp_path / "targets"
+    d.mkdir()
+    for i in range(2):
+        seq, crd = synthetic_protein(6, seed=i)
+        p = protein_props(seq, crd)
+        write_pdb(str(d / f"T{i:04d}.pdb"), seq, p.xyz, p.mapping, p.channel_idx)
+    out = str(tmp_path / "cache.npz")
+    cache_main(["-kind", "protein", "-src", str(d), "-out", out])
+    z = np.load(out, allow_pickle=True)
+    assert z["z"].shape[0] == 2
+    assert len(z["seqs"]) == 2

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-patience", type=int, default=15)
     p.add_argument("-factor", type=float, default=0.6)
     p.add_argument("-mapshuffle", type=float, default=0.0)
+    p.add_argument("-site_index", type=str, default=None,
+                   help="explicit CG site atom indices for minimal/alpha "
+                        "mappings: comma-separated ints (e.g. '1,11,21', "
+                        "one per bead) or a path to a .npy int array; "
+                        "without it minimal/alpha fall back to evenly-"
+                        "spaced indices with a warning")
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-checkpoint_every", type=int, default=0)
     p.add_argument("--dec_type", type=str, default="cross",
@@ -89,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the segment-sum formulation instead of the "
                         "dense-regime flagship (DESIGN.md)")
     return p
+
+
+def parse_site_index(spec):
+    """'1,11,21' or a .npy path -> tuple of atom indices (None passes)."""
+    if spec is None:
+        return None
+    if str(spec).endswith(".npy"):
+        return tuple(int(v) for v in np.load(spec).reshape(-1))
+    return tuple(int(v) for v in str(spec).split(","))
 
 
 def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
@@ -106,6 +121,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             dataset=a.dataset, ndata=a.ndata, batch_size=a.batch_size,
             cg_method=a.cg_method, edgeorder=a.edgeorder, nsplits=a.nsplits,
             mapshuffle=a.mapshuffle, seed=a.seed, auxcutoff=a.auxcutoff,
+            site_index=parse_site_index(a.site_index),
         ),
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
@@ -123,6 +139,8 @@ def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
         mapping = get_mapping(
             cfg.data.cg_method, cfg.model.n_cgs, n_atoms, bonds=bonds,
             frames=frames, mapshuffle=cfg.data.mapshuffle,
+            site_index=(None if cfg.data.site_index is None
+                        else np.asarray(cfg.data.site_index, np.int64)),
             seed=seed + attempt,
         )
         if np.unique(mapping).size == cfg.model.n_cgs:

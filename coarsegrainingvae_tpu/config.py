@@ -59,6 +59,10 @@ class DataConfig:
     shuffle: bool = True
     seed: int = 123             # reference seeds everything to 123 (run_ala.py:36-41)
     auxcutoff: float = 0.0      # optional aux-edge cutoff (generate_aux_edges)
+    # explicit CG site atom indices for minimal/alpha mappings (one per
+    # bead, e.g. C-alpha atom indices); None falls back to evenly-spaced
+    # indices with a loud warning (data/mappings.py)
+    site_index: Optional[Tuple[int, ...]] = None
     # maximum edges per frame for the padded radius graphs; None -> computed
     # from data (max over frames, rounded up to a bucket).
     max_atom_edges: Optional[int] = None

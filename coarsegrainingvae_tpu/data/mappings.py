@@ -263,7 +263,19 @@ def get_mapping(
         # both arrive as site_index so no MD library is required
         assert frames is not None
         if site_index is None:
-            # evenly spaced fallback sites when no topology annotation exists
+            # evenly spaced atom-INDEX fallback -- NOT the reference protocol
+            # (mdtraj selections of backbone markers / C-alphas,
+            # datasets.py:252-312). Loud by design: results from this path
+            # are not comparable to the reference's minimal/alpha runs.
+            import warnings
+
+            warnings.warn(
+                f"mapping method {method!r} got no site_index; falling back "
+                "to evenly-spaced atom indices, which is NOT the reference "
+                "protocol. Pass site_index (e.g. C-alpha atom indices) for "
+                "faithful minimal/alpha mappings.",
+                stacklevel=2,
+            )
             site_index = np.linspace(0, n_atoms - 1, n_cgs).astype(np.int64)
         assert len(site_index) == n_cgs, "need one site atom per bead"
         return nearest_site_mapping(frames, np.asarray(site_index))

@@ -137,3 +137,43 @@ def test_aux_edges_replace_bond_edges():
     e = np.asarray(ds.aux_bonds[0][ds.aux_mask[0]])
     d = np.linalg.norm(frames[0][e[:, 0]] - frames[0][e[:, 1]], axis=-1)
     assert (d <= 3.0).all() and e.shape[0] > 0
+
+
+def test_minimal_alpha_real_site_path():
+    """Explicit site indices (synthetic C-alpha markers) produce a
+    nearest-site mapping where each site atom owns its own bead
+    (reference datasets.py:252-312); the no-site fallback must warn."""
+    import warnings
+
+    from coarsegrainingvae_tpu.data.mappings import get_mapping
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=4, seed=2)
+    sites = np.array([1, 4, 8], np.int64)  # heavy-chain 'C-alpha' stand-ins
+    mapping = get_mapping("alpha", 3, z.shape[0], frames=frames,
+                          site_index=sites)
+    assert np.array_equal(mapping[sites], np.arange(3))
+    assert np.unique(mapping).size == 3
+    # nearest-site property: each atom's bead minimizes the frame-averaged
+    # distance to the site atoms (datasets.py nearest-site rule)
+    d = np.linalg.norm(
+        frames[:, :, None, :] - frames[:, sites][:, None, :, :], axis=-1
+    ).mean(0)
+    expected = d.argmin(1)
+    others = np.setdiff1d(np.arange(z.shape[0]), sites)
+    assert np.array_equal(mapping[others], expected[others])
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_mapping("minimal", 3, z.shape[0], frames=frames)
+    assert any("NOT the reference protocol" in str(x.message) for x in w)
+
+
+def test_cli_site_index_parsing(tmp_path):
+    from coarsegrainingvae_tpu.cli.run_cgvae import parse_site_index
+
+    assert parse_site_index(None) is None
+    assert parse_site_index("1,11,21") == (1, 11, 21)
+    p = str(tmp_path / "sites.npy")
+    np.save(p, np.array([3, 7], np.int64))
+    assert parse_site_index(p) == (3, 7)

@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-checkpoint_every", type=int, default=0)
     p.add_argument("--dec_type", type=str, default="cross",
-                   choices=["pseudo", "cross", "painn", "en", "inv"])
+                   choices=["pseudo", "pseudo2", "cross", "painn", "en", "inv"])
     p.add_argument("--graph_eval", action="store_true", default=False)
     p.add_argument("--det", action="store_true", default=False)
     p.add_argument("--invariantdec", action="store_true", default=False)

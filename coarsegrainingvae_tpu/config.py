@@ -31,7 +31,7 @@ class ModelConfig:
     # contraction (atom->CG pooling) cutoff; hard-coded 20.0 at the reference
     # call site (cgvae.py:249)
     contract_cutoff: float = 20.0
-    dec_type: str = "pseudo"    # "pseudo" | "cross" | "painn" | "en" | "inv"
+    dec_type: str = "pseudo"    # "pseudo" | "pseudo2" | "cross" | "painn" | "en" | "inv"
     breaksym: bool = False      # init pseudoscalar channel to 1 (cgvae.py:91-94)
     det: bool = False           # deterministic AE mode (no sampling)
     equivariant: bool = True    # False -> linear "euclidean" head (cgvae.py:424)

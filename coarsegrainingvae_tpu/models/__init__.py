@@ -5,6 +5,7 @@ from coarsegrainingvae_tpu.models.conv import (
     EquiMessageBlock,
     EquiMessageCross,
     EquiMessagePseudo,
+    EquiMessagePseudo2,
     InvMessageBlock,
     InvariantMessage,
     PseudoUpdateBlock,

@@ -31,6 +31,7 @@ from coarsegrainingvae_tpu.models.conv import (
     EquiMessageBlock,
     EquiMessageCross,
     EquiMessagePseudo,
+    EquiMessagePseudo2,
     InvMessageBlock,
     UpdateBlock,
 )
@@ -235,6 +236,9 @@ class EquivariantPseudoDecoder(nn.Module):
     num_conv: int
     activation: str
     breaksym: bool = False
+    # 'pseudo' = 9-way gated block (conv.py:165-242); 'pseudo2' = 4-way
+    # split + learned 3F/4F->F mixing (conv.py:246-340)
+    variant: str = "pseudo"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -246,9 +250,12 @@ class EquivariantPseudoDecoder(nn.Module):
         else:
             Sbar = jnp.zeros_like(S)
         r_ij = _edge_vec(g.cg_xyz, g.cg_nbrs)
+        message_cls = (
+            EquiMessagePseudo2 if self.variant == "pseudo2" else EquiMessagePseudo
+        )
 
         for i in range(self.num_conv):
-            dS, dSbar, dV, dVbar = EquiMessagePseudo(
+            dS, dSbar, dV, dVbar = message_cls(
                 feat_dim=self.feat_dim, activation=self.activation,
                 n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
             )(S, Sbar, V, Vbar, r_ij, g.cg_nbrs, g.cg_nbr_mask)
@@ -362,11 +369,11 @@ class CGequiVAE(nn.Module):
             activation=c.activation, cutoff=c.cg_cutoff,
             degree_norm=c.degree_norm, vocab=max(100, c.n_cgs), dtype=dtype,
         )
-        if c.dec_type == "pseudo":
+        if c.dec_type in ("pseudo", "pseudo2"):
             self.dec = EquivariantPseudoDecoder(
                 feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
                 num_conv=c.dec_nconv, activation=c.activation,
-                breaksym=c.breaksym, dtype=dtype,
+                breaksym=c.breaksym, variant=c.dec_type, dtype=dtype,
             )
         elif c.dec_type in ("cross", "painn"):
             self.dec = EquivariantDecoder(

@@ -247,6 +247,109 @@ class EquiMessagePseudo(nn.Module):
         return ds, dsbar, dv, dvbar
 
 
+def pseudo2_edge_terms(
+    sp: Array,        # (E, 4, F) invariant message split
+    s_i: Array,       # (E, F) receiver scalars
+    sbar_i: Array,    # (E, F) receiver pseudoscalars
+    v_i: Array,       # (E, 3, F) receiver vectors
+    vbar_i: Array,    # (E, 3, F) receiver pseudovectors
+    v_j: Array,       # (E, 3, F) sender vectors
+    vbar_j: Array,    # (E, 3, F) sender pseudovectors
+    unit: Array,      # (E, 3) edge unit vectors
+    w_dv: Array,      # (3F, F) learned mixing for dv
+    w_dvbar: Array,   # (4F, F) learned mixing for dvbar
+) -> Tuple[Array, Array, Array, Array]:
+    """Per-edge EquiMessagePsuedo2 terms (reference conv.py:264-340), pure so
+    tests can hand-compute against it. 4-way invariant split:
+      ds    = sp[1]
+      dsbar = sp[3] * (v_i . vbar_j)
+      dv    = sp[2]*unit + sp[0]*v_j + [s_i*v_j | sbar_i*vbar_j | v_i x vbar_j] @ w_dv
+      dvbar = [s_i*vbar_j | sbar_i*v_j | v_i x v_j | vbar_i x vbar_j] @ w_dvbar
+    (the learned 3F/4F -> F mixes replace pseudo(9-way)'s per-term scalar
+    gates; reference mix_dv/mix_dvbar are bias-free Linears)."""
+    ds_ij = sp[:, 1]
+    dsbar_ij = sp[:, 3] * jnp.sum(v_i * vbar_j, axis=1)
+
+    dv_cat = jnp.concatenate(
+        [s_i[:, None, :] * v_j, sbar_i[:, None, :] * vbar_j, cross3(v_i, vbar_j)],
+        axis=-1,
+    )  # (E, 3, 3F): feature-axis concat -> one MXU matmul per edge block
+    dv_ij = (
+        sp[:, 2][:, None, :] * unit[:, :, None]
+        + sp[:, 0][:, None, :] * v_j
+        + dv_cat @ w_dv
+    )
+    dvbar_cat = jnp.concatenate(
+        [
+            s_i[:, None, :] * vbar_j,
+            sbar_i[:, None, :] * v_j,
+            cross3(v_i, v_j),
+            cross3(vbar_i, vbar_j),
+        ],
+        axis=-1,
+    )  # (E, 3, 4F)
+    dvbar_ij = dvbar_cat @ w_dvbar
+    return ds_ij, dsbar_ij, dv_ij, dvbar_ij
+
+
+class EquiMessagePseudo2(nn.Module):
+    """Chirality-aware message block, 4-way split + learned mixing
+    (reference EquiMessagePsuedo2, conv.py:246-340): instead of pseudo's
+    9 per-term invariant gates, the vector/pseudovector interaction terms
+    are concatenated on the feature axis and mixed by bias-free Linears
+    (3F->F for dv, 4F->F for dvbar) -- dense matmuls that tile onto the MXU.
+    Unused by the reference drivers; exposed as dec_type='pseudo2'."""
+
+    feat_dim: int
+    activation: str
+    n_rbf: int
+    cutoff: float
+    edges_sorted: bool = True  # data pipeline emits receiver-sorted
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        s: Array,      # (N, F)
+        sbar: Array,   # (N, F)
+        v: Array,      # (N, 3, F)
+        vbar: Array,   # (N, 3, F)
+        r_ij: Array,
+        edges: Array,
+        edge_mask: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Array, Array]:
+        num_nodes = s.shape[0]
+        f = self.feat_dim
+        dist, unit = preprocess_r(r_ij)
+        inv = InvariantMessage(
+            in_feat_dim=f, out_feat_dim=4 * f, activation=self.activation,
+            n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
+        )(s, dist, edges)
+        sp = inv.reshape(-1, 4, f)
+
+        w_dv = self.param(
+            "mix_dv", nn.initializers.lecun_normal(), (3 * f, f), self.dtype
+        )
+        w_dvbar = self.param(
+            "mix_dvbar", nn.initializers.lecun_normal(), (4 * f, f), self.dtype
+        )
+
+        i_idx, j_idx = edges[:, 0], edges[:, 1]
+        ds_ij, dsbar_ij, dv_ij, dvbar_ij = pseudo2_edge_terms(
+            sp, _gather(s, i_idx), _gather(sbar, i_idx),
+            _gather(v, i_idx), _gather(vbar, i_idx),
+            _gather(v, j_idx), _gather(vbar, j_idx),
+            unit, w_dv, w_dvbar,
+        )
+
+        srt = self.edges_sorted
+        ds = segment_sum(ds_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dsbar = segment_sum(dsbar_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dv = segment_sum(dv_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        dvbar = segment_sum(dvbar_ij, i_idx, num_nodes, edge_mask, indices_are_sorted=srt)
+        return ds, dsbar, dv, dvbar
+
+
 class ENMessageBlock(nn.Module):
     """EGNN-style block (conv.py:77-129): 2-way split, dv from unit vectors
     only, ds invariant."""

@@ -48,10 +48,10 @@ def _recon(model, params, batch):
     return np.asarray(out.xyz_recon)
 
 
-@pytest.mark.parametrize("dec_type", ["painn", "cross", "pseudo", "en"])
+@pytest.mark.parametrize("dec_type", ["painn", "cross", "pseudo", "pseudo2", "en"])
 def test_rotation_equivariance(small_dataset, dec_type):
     batch = small_dataset.batch(np.arange(2))
-    model = CGequiVAE(cfg=_det_cfg(dec_type, breaksym=(dec_type == "pseudo")))
+    model = CGequiVAE(cfg=_det_cfg(dec_type, breaksym=dec_type.startswith("pseudo")))
     rng = jax.random.PRNGKey(1)
     params = model.init({"params": rng, "sample": rng}, batch)["params"]
 
@@ -131,3 +131,61 @@ def test_pseudo_without_breaksym_is_mirror_equivariant(small_dataset):
     flipped = recon.copy()
     flipped[:, 1] *= -1
     np.testing.assert_allclose(recon_ref, flipped, atol=2e-3, rtol=1e-3)
+
+
+def test_pseudo2_breaksym_breaks_mirror_symmetry(small_dataset):
+    """Same contrast as the pseudo test for the 4-way + learned-mixing
+    variant (reference EquiMessagePsuedo2, conv.py:246-340): with breaksym
+    the reflected input must not give the reflected output."""
+    batch = small_dataset.batch(np.arange(2))
+    model = CGequiVAE(cfg=_det_cfg("pseudo2", breaksym=True, dec_nconv=5))
+    rng = jax.random.PRNGKey(1)
+    params = model.init({"params": rng, "sample": rng}, batch)["params"]
+    recon = _recon(model, params, batch)
+    recon_ref = _recon(model, params, _apply_transform(batch, reflect=True))
+    flipped = recon.copy()
+    flipped[:, 1] *= -1
+    assert np.abs(recon_ref - flipped).max() > 1e-6
+
+
+def test_pseudo2_edge_terms_hand_computed():
+    """pseudo2_edge_terms vs a by-hand evaluation of the reference formulas
+    (conv.py:264-340) on one edge with F=1."""
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.models.conv import pseudo2_edge_terms
+
+    sp = np.array([[[2.0], [3.0], [5.0], [7.0]]])       # (1, 4, 1)
+    s_i = np.array([[0.5]])
+    sbar_i = np.array([[-1.5]])
+    v_i = np.array([[[1.0], [0.0], [2.0]]])             # (1, 3, 1)
+    vbar_i = np.array([[[0.0], [1.0], [-1.0]]])
+    v_j = np.array([[[3.0], [-1.0], [0.5]]])
+    vbar_j = np.array([[[-2.0], [0.5], [1.0]]])
+    unit = np.array([[1.0, 0.0, 0.0]])
+    w_dv = np.array([[0.1], [0.2], [0.3]])              # (3F, F) = (3, 1)
+    w_dvbar = np.array([[0.4], [0.3], [0.2], [0.1]])    # (4, 1)
+
+    ds, dsbar, dv, dvbar = pseudo2_edge_terms(
+        *[jnp.asarray(a, jnp.float32) for a in
+          (sp, s_i, sbar_i, v_i, vbar_i, v_j, vbar_j, unit, w_dv, w_dvbar)]
+    )
+    # by hand: ds = split_1 = 3; dsbar = split_3 * (v_i . vbar_j)
+    #   v_i . vbar_j = 1*-2 + 0*0.5 + 2*1 = 0  -> dsbar = 0
+    np.testing.assert_allclose(np.asarray(ds), [[3.0]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dsbar), [[0.0]], atol=1e-6)
+    # dv = 5*unit + 2*v_j + 0.1*(s_i*v_j) + 0.2*(sbar_i*vbar_j)
+    #      + 0.3*cross(v_i, vbar_j)
+    cross_iv = np.cross(v_i[0, :, 0], vbar_j[0, :, 0])  # (0*1-2*0.5, 2*-2-1*1, 1*0.5-0*-2)
+    expect_dv = (5.0 * unit[0] + 2.0 * v_j[0, :, 0]
+                 + 0.1 * 0.5 * v_j[0, :, 0]
+                 + 0.2 * -1.5 * vbar_j[0, :, 0]
+                 + 0.3 * cross_iv)
+    np.testing.assert_allclose(np.asarray(dv)[0, :, 0], expect_dv, atol=1e-5)
+    # dvbar = 0.4*(s_i*vbar_j) + 0.3*(sbar_i*v_j) + 0.2*cross(v_i, v_j)
+    #         + 0.1*cross(vbar_i, vbar_j)
+    expect_dvbar = (0.4 * 0.5 * vbar_j[0, :, 0]
+                    + 0.3 * -1.5 * v_j[0, :, 0]
+                    + 0.2 * np.cross(v_i[0, :, 0], v_j[0, :, 0])
+                    + 0.1 * np.cross(vbar_i[0, :, 0], vbar_j[0, :, 0]))
+    np.testing.assert_allclose(np.asarray(dvbar)[0, :, 0], expect_dvbar, atol=1e-5)

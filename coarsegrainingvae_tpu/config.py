@@ -44,6 +44,15 @@ class ModelConfig:
     # compute dtype for dense-layer matmuls ("float32" or "bfloat16");
     # geometry (coordinates, distances, unit vectors) always stays float32.
     compute_dtype: str = "float32"
+    # factored-message aggregation implementation (dense regime):
+    # "einsum" (per-channel per-basis contractions) or "qmat" (all channels
+    # merged into one flattened-(sender, basis) batched matmul; same math,
+    # pinned by tests/test_factored_message.py::test_qmat_matches_einsum)
+    message_impl: str = "einsum"
+    # pseudo (chirality) message combination: "einsum" (per-channel) or
+    # "stacked" (channel-stacked broadcast-reduce; same math/params, far
+    # fewer HLO ops -- the decoder at M=n_cgs beads is op-count bound)
+    pseudo_impl: str = "einsum"
 
 
 @dataclass(frozen=True)

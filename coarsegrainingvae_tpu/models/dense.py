@@ -369,6 +369,18 @@ class DenseFactoredEquiMessage(nn.Module):
     Biggest intermediate: (B, N, R+1, 3, F) instead of (B, N, N, 3F); for
     the dipeptide bench shape that is 54 MB vs 168 MB, and the pair axis
     never touches HBM.
+
+    impl:
+      "einsum" -- one per-basis contraction einsum per channel (the original
+        formulation above).
+      "qmat"   -- the per-basis contractions of ALL sender-payload channels
+        merge into ONE batched matmul over a flattened q = (sender j,
+        basis r) axis of size N*(R+1): lhs K (B, N, q), rhs the channel-
+        stacked payload*filter products (B, q, C*F). The unit channel keeps
+        its own (B, 3N, q) @ (B, q, F) matmul (its geometry factor lives on
+        the receiver side). Same math, same params; contraction dim grows
+        from N to N*(R+1) and the (B, N, R+1, 3, F) intermediates vanish --
+        two MXU-friendly matmuls instead of eight thin ones.
     """
 
     feat_dim: int
@@ -377,6 +389,7 @@ class DenseFactoredEquiMessage(nn.Module):
     cutoff: float
     cross: bool = False
     dtype: jnp.dtype = jnp.float32
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -414,6 +427,9 @@ class DenseFactoredEquiMessage(nn.Module):
         env = cosine_envelope(dist, self.cutoff)
         k = adj[..., None] * env[..., None] * rbf                    # (B,N,N,R+1)
 
+        if self.impl == "qmat":
+            return _qmat_message(k, unit, phi, v, w, f, r_aug, self.cross)
+
         # --- scalar channel (split 1): ds_i = fold_r G(phi_b)
         g_b = jnp.einsum("bijr,bjf->birf", k, phi[:, :, 1])
         ds = jnp.einsum("birf,rf->bif", g_b, w[:, 1])
@@ -438,3 +454,49 @@ class DenseFactoredEquiMessage(nn.Module):
                 v.reshape(bn, 3, f), w3.reshape(bn, 3, f)
             ).reshape(v.shape)
         return ds, dv
+
+
+def _qmat_message(
+    k: Array,      # (B, N, N, R+1) adj*env*rbf kernel
+    unit: Array,   # (B, N, N, 3)
+    phi: Array,    # (B, N, S, F) pre-split per-node features
+    v: Array,      # (B, N, 3, F)
+    w: Array,      # (R+1, S, F) filter weights
+    f: int,
+    r_aug: int,
+    cross: bool,
+) -> Tuple[Array, Array]:
+    """Flattened-q formulation of the factored message (see
+    DenseFactoredEquiMessage docstring). q = (j, r) j-major everywhere."""
+    b, n = phi.shape[:2]
+    kq = k.reshape(b, n, n * r_aug)                          # (B, N, q)
+
+    def pblock(payload: Array, ch: int) -> Array:
+        # payload (B, N, F) x w[:, ch] (R+1, F) -> (B, q, F)
+        return (payload[:, :, None, :] * w[None, None, :, ch, :]).reshape(
+            b, n * r_aug, f
+        )
+
+    cols = [pblock(phi[:, :, 1], 1)]                         # scalar channel
+    p_a = phi[:, :, 0][:, :, None, :] * v                    # (B, N, 3, F)
+    cols += [pblock(p_a[:, :, d], 0) for d in range(3)]      # sender-vector
+    if cross:
+        p_3 = phi[:, :, 3][:, :, None, :] * v
+        cols += [pblock(p_3[:, :, d], 3) for d in range(3)]
+    rhs = jnp.concatenate(cols, axis=-1)                     # (B, q, C*F)
+    out = jnp.einsum("biq,bqg->big", kq, rhs)                # ONE batched matmul
+
+    ds = out[..., :f]
+    dv = out[..., f:4 * f].reshape(b, n, 3, f)
+    if cross:
+        w3 = out[..., 4 * f:7 * f].reshape(b, n, 3, f)
+        bn = b * n
+        dv = dv + cross3(
+            v.reshape(bn, 3, f), w3.reshape(bn, 3, f)
+        ).reshape(v.shape)
+
+    # unit channel: receiver-side geometry factor -> own lhs (B, 3N, q)
+    lhs = (k[..., None] * unit[..., None, :])                # (B,N,N,R+1,3)
+    lhs = lhs.transpose(0, 1, 4, 2, 3).reshape(b, n * 3, n * r_aug)
+    dv_c = jnp.einsum("bpq,bqf->bpf", lhs, pblock(phi[:, :, 2], 2))
+    return ds, dv + dv_c.reshape(b, n, 3, f)

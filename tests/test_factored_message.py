@@ -52,6 +52,80 @@ def test_factored_matches_naive(cross):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("cross", [False, True])
+def test_qmat_matches_einsum(cross):
+    """The flattened-q single-matmul impl is exactly the einsum impl."""
+    rng = np.random.default_rng(2)
+    b, n, f, n_rbf, cutoff = 3, 9, 16, 6, 7.0
+    xyz = (rng.normal(size=(b, n, 3)) * 2).astype(np.float32)
+    s = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, 3, f)).astype(np.float32))
+    _, dist, unit = dense_pairwise(jnp.asarray(xyz))
+    adj = radius_adjacency(dist, cutoff)
+
+    kw = dict(feat_dim=f, activation="swish", n_rbf=n_rbf, cutoff=cutoff,
+              cross=cross)
+    ein = DenseFactoredEquiMessage(**kw, impl="einsum")
+    params = ein.init(jax.random.PRNGKey(3), s, v, dist, unit, adj)
+    ds_e, dv_e = ein.apply(params, s, v, dist, unit, adj)
+    qm = DenseFactoredEquiMessage(**kw, impl="qmat")
+    ds_q, dv_q = qm.apply(params, s, v, dist, unit, adj)
+
+    np.testing.assert_allclose(np.asarray(ds_q), np.asarray(ds_e),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_q), np.asarray(dv_e),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients agree too (the training hot path)
+    def loss(p, impl):
+        m = DenseFactoredEquiMessage(**kw, impl=impl)
+        a, c = m.apply(p, s, v, dist, unit, adj)
+        return jnp.sum(a**2) + jnp.sum(c**2)
+
+    g_e = jax.grad(loss)(params, "einsum")
+    g_q = jax.grad(loss)(params, "qmat")
+    for ge, gq in zip(jax.tree.leaves(g_e), jax.tree.leaves(g_q)):
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(ge),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pseudo_stacked_matches_einsum():
+    """Channel-stacked pseudo-message combination == per-channel einsums
+    (values and gradients; same params)."""
+    from coarsegrainingvae_tpu.models.dense_cgvae import DenseEquiMessagePseudo
+
+    rng = np.random.default_rng(4)
+    b, m, f, n_rbf, cutoff = 3, 4, 10, 5, 9.0
+    xyz = (rng.normal(size=(b, m, 3)) * 2).astype(np.float32)
+    s = jnp.asarray(rng.normal(size=(b, m, f)).astype(np.float32))
+    sbar = jnp.asarray(rng.normal(size=(b, m, f)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, m, 3, f)).astype(np.float32))
+    vbar = jnp.asarray(rng.normal(size=(b, m, 3, f)).astype(np.float32))
+    _, dist, unit = dense_pairwise(jnp.asarray(xyz))
+    adj = radius_adjacency(dist, cutoff)
+
+    kw = dict(feat_dim=f, activation="swish", n_rbf=n_rbf, cutoff=cutoff)
+    ein = DenseEquiMessagePseudo(**kw, impl="einsum")
+    params = ein.init(jax.random.PRNGKey(5), s, sbar, v, vbar, dist, unit, adj)
+    out_e = ein.apply(params, s, sbar, v, vbar, dist, unit, adj)
+    stk = DenseEquiMessagePseudo(**kw, impl="stacked")
+    out_s = stk.apply(params, s, sbar, v, vbar, dist, unit, adj)
+    for oe, os_ in zip(out_e, out_s):
+        np.testing.assert_allclose(np.asarray(os_), np.asarray(oe),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss(p, impl, *inp):
+        mod = DenseEquiMessagePseudo(**kw, impl=impl)
+        return sum(jnp.sum(o**2) for o in mod.apply(p, *inp, dist, unit, adj))
+
+    inp = (s, sbar, v, vbar)
+    g_e = jax.grad(loss, argnums=(0, 2, 3, 4, 5))(params, "einsum", *inp)
+    g_s = jax.grad(loss, argnums=(0, 2, 3, 4, 5))(params, "stacked", *inp)
+    for ge, gs in zip(jax.tree.leaves(g_e), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ge),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_factored_equivariance():
     from coarsegrainingvae_tpu.ops.geometry import rotation_matrix_from_axis_angle
 

@@ -82,16 +82,35 @@ def main() -> None:
     scan = jax.jit(trainer._epoch_scan_impl, donate_argnums=(0,))
     # warmup / compile at the same (S, B) shape as the timed call
     state, metrics = scan(state, dds, jnp.asarray(idx), rng)
-    jax.device_get(metrics["loss"])  # true sync (block_until_ready does
-    # not reliably synchronize on the tunneled axon backend)
+    m0 = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
 
     t0 = time.perf_counter()
     state, metrics = scan(state, dds, jnp.asarray(idx), jax.random.fold_in(rng, 1))
-    jax.device_get(metrics["loss"])
+    jax.device_get(metrics["loss"])  # true sync (block_until_ready does
+    # not reliably synchronize on the tunneled axon backend)
     dt = time.perf_counter() - t0
+
+    # accuracy tie-in: the throughput number is only meaningful if the SAME
+    # run is learning -- record the loss/recon trend across the measured
+    # scans to a side artifact (stdout stays ONE json line)
+    m1 = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
 
     samples_per_sec = n_steps * batch_size / dt
     per_chip = samples_per_sec / n_dev
+    details = {
+        "config": "dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo batch32",
+        "pseudo_impl": cfg.model.pseudo_impl,
+        "message_impl": cfg.model.message_impl,
+        "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "loss_scan1_first10_mean": float(m0["loss"][:10].mean()),
+        "loss_scan2_last10_mean": float(m1["loss"][-10:].mean()),
+        "recon_scan1_first10_mean": float(m0["recon"][:10].mean()),
+        "recon_scan2_last10_mean": float(m1["recon"][-10:].mean()),
+        "learning": bool(m1["loss"][-10:].mean() < m0["loss"][:10].mean()),
+    }
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     print(
         json.dumps(
             {

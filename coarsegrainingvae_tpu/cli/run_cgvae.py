@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invariantdec", action="store_true", default=False)
     p.add_argument("--reflectiontest", action="store_true", default=False)
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--message_impl", type=str, default="einsum",
+                   choices=["einsum", "qmat"],
+                   help="dense factored-message aggregation implementation")
+    p.add_argument("--pseudo_impl", type=str, default="stacked",
+                   choices=["stacked", "einsum", "pallas"],
+                   help="pseudo (chirality) message combination")
     p.add_argument("--sparse", action="store_true", default=False,
                    help="use the segment-sum formulation instead of the "
                         "dense-regime flagship (DESIGN.md)")
@@ -116,6 +122,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             activation=a.activation, dec_type=dec_type,
             breaksym=(a.n_cgs == 3),  # run_ala.py:192-197
             det=a.det,
+            message_impl=a.message_impl, pseudo_impl=a.pseudo_impl,
         ),
         data=DataConfig(
             dataset=a.dataset, ndata=a.ndata, batch_size=a.batch_size,

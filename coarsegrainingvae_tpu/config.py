@@ -49,10 +49,15 @@ class ModelConfig:
     # merged into one flattened-(sender, basis) batched matmul; same math,
     # pinned by tests/test_factored_message.py::test_qmat_matches_einsum)
     message_impl: str = "einsum"
-    # pseudo (chirality) message combination: "einsum" (per-channel) or
-    # "stacked" (channel-stacked broadcast-reduce; same math/params, far
-    # fewer HLO ops -- the decoder at M=n_cgs beads is op-count bound)
-    pseudo_impl: str = "einsum"
+    # pseudo (chirality) message combination: "pallas" (fully fused Pallas
+    # TPU kernel with hand-derived Pallas backward, ops/pallas_pseudo.py;
+    # different param tree), "stacked" (channel-stacked
+    # broadcast-reduce; default) or "einsum" (one contraction per channel).
+    # Same math, same params (pinned by tests/test_factored_message.py::
+    # test_pseudo_stacked_matches_einsum); the decoder runs on M=n_cgs
+    # beads where the step is HLO-op-count bound, and "stacked" measured
+    # the whole dipeptide train step 14.9 -> 6.8 ms on one v5e chip.
+    pseudo_impl: str = "stacked"
 
 
 @dataclass(frozen=True)

@@ -59,6 +59,14 @@ class DenseEquiMessagePseudo(nn.Module):
         M = n_cgs beads (3 for dipeptide) where every tensor is tiny, so the
         step cost is op-count/HBM-round-trip bound, not FLOPs -- measured
         on one v5e chip this block dominated the whole train step (~72%).
+      "pallas"  -- the whole pair pipeline (geometry, RBF, envelope,
+        adjacency, per-channel filters, combination) runs as ONE fused
+        Pallas TPU kernel with a hand-derived Pallas backward
+        (ops/pallas_pseudo.py); requires xyz/node_mask args. Uses the
+        factored filter parameterization (filter_w like
+        DenseFactoredEquiMessage) instead of a DistanceEmbed submodule, so
+        its param tree differs from einsum/stacked (the function class is
+        identical; parity pinned by tests/test_pallas_pseudo.py).
     """
 
     feat_dim: int
@@ -74,8 +82,40 @@ class DenseEquiMessagePseudo(nn.Module):
         s: Array, sbar: Array,        # (B, M, F)
         v: Array, vbar: Array,        # (B, M, 3, F)
         dist: Array, unit: Array, adj: Array,
+        xyz: Array = None, node_mask: Array = None,
     ) -> Tuple[Array, Array, Array, Array]:
         f = self.feat_dim
+        if self.impl == "pallas":
+            from coarsegrainingvae_tpu.ops.pallas_pseudo import (
+                fused_pseudo_message,
+            )
+
+            assert xyz is not None and node_mask is not None, (
+                "pseudo_impl='pallas' needs bead coordinates and mask"
+            )
+            phi = Dense(f, activation=self.activation, dtype=self.dtype)(s)
+            phi = Dense(9 * f, dtype=self.dtype)(phi)
+            phi = phi.reshape(phi.shape[:2] + (9, f))
+            r_aug = self.n_rbf + 1
+
+            def _filter_init(key, shape, dtype):
+                limit = jnp.sqrt(6.0 / (self.n_rbf + 9 * f))
+                w0 = jax.random.uniform(key, (self.n_rbf, 9, f), dtype,
+                                        -limit, limit)
+                return jnp.concatenate(
+                    [w0, jnp.zeros((1, 9, f), dtype)], axis=0
+                )
+
+            w = self.param("filter_w", _filter_init, (r_aug, 9, f), self.dtype)
+            interpret = jax.devices()[0].platform != "tpu"
+            return fused_pseudo_message(
+                xyz.astype(jnp.float32), node_mask.astype(jnp.float32),
+                phi.astype(jnp.float32), s.astype(jnp.float32),
+                sbar.astype(jnp.float32), v.astype(jnp.float32),
+                vbar.astype(jnp.float32), w.astype(jnp.float32),
+                self.cutoff, self.n_rbf, 8, interpret,
+            )
+
         inv = DenseInvariantMessage(
             feat_dim=f, out_feat_dim=9 * f, activation=self.activation,
             n_rbf=self.n_rbf, cutoff=self.cutoff, dtype=self.dtype,
@@ -277,7 +317,8 @@ class DenseCGVAE(nn.Module):
                 dS, dSb, dV, dVb = DenseEquiMessagePseudo(
                     feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
                     cutoff=c.atom_cutoff, dtype=dtype, impl=c.pseudo_impl,
-                )(S, Sbar, Vd, Vbar, cg_dist, cg_unit, dec_adj)
+                )(S, Sbar, Vd, Vbar, cg_dist, cg_unit, dec_adj,
+                  xyz=cg_xyz, node_mask=batch.cg_mask)
                 S, Sbar, Vd, Vbar = S + dS, Sbar + dSb, Vd + dV, Vbar + dVb
                 dS, dV = DenseUpdateBlock(
                     feat_dim=f, activation=c.activation, dtype=dtype

@@ -114,7 +114,10 @@ class Trainer:
         )
 
         # skip-batch guard (utils.py:145-148): zero the update instead of
-        # data-dependent control flow
+        # data-dependent control flow. (A lax.cond around the optimizer
+        # update measured SLOWER on v5e -- the conditional forces copies of
+        # the 205 MB param/moment buffers -- so the branchless where-select
+        # stays; it fuses into the optimizer's elementwise passes.)
         gamma = self.cfg.train.gamma
         thresh = gamma * self.cfg.train.loss_skip_factor if gamma > 0 else jnp.inf
         ok = jnp.isfinite(loss) & (loss < thresh)

@@ -48,6 +48,7 @@ def timed_scan(fn, carry, n_steps: int, label: str, per_step_items: float = 0.0,
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--dtype", default="float32")
     p.add_argument(
         "--only", default="", help="comma list: step,parts,modules (default all)"
@@ -77,7 +78,7 @@ def main() -> None:
     from coarsegrainingvae_tpu.train.losses import vae_loss
     from coarsegrainingvae_tpu.train.trainer import Trainer
 
-    batch_size = 32
+    batch_size = args.batch
     cfg = ExperimentConfig(
         model=ModelConfig(
             n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
@@ -88,7 +89,8 @@ def main() -> None:
         data=DataConfig(batch_size=batch_size),
         train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01),
     )
-    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=64, seed=0)
+    z, frames, bonds = synthetic_peptide(
+        "dipeptide", n_frames=max(64, 2 * batch_size), seed=0)
     mapping = newman_mapping(bonds, z.shape[0], 3, seed=0)
     ds = build_dataset(
         mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,

@@ -28,14 +28,25 @@ from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
 from coarsegrainingvae_tpu.utils.pdb import write_pdb
 
 
-def load_protein_items(path: str, n: int, seed: int):
+def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train"):
     """Items = (seq, crd) tuples. Resolution: a pickle of
-    {'seq': [...], 'crd': [...]} (the generate_pkl.py cache format) ->
+    {'seq': [...], 'crd': [...]} (the generate_pkl.py cache format), a raw
+    SidechainNet dataset (pickle of split dicts, or a casp spec resolved by
+    the sidechainnet package -- reference run_pdb.py:265) ->
     synthetic stand-ins."""
     if path and os.path.exists(path):
         with open(path, "rb") as f:
             d = pickle.load(f)
-        return list(zip(d["seq"], d["crd"]))[:n]
+        if "seq" in d:
+            return list(zip(d["seq"], d["crd"]))[:n]
+        # raw SidechainNet dataset: dict of split dicts
+        from coarsegrainingvae_tpu.data.sidechain import sidechainnet_items
+
+        return sidechainnet_items(d[scn_split], n_data=n)
+    if path:  # non-path spec, e.g. "casp12" via the sidechainnet package
+        from coarsegrainingvae_tpu.data.sidechain import load_sidechainnet
+
+        return load_sidechainnet(path, split=scn_split, n_data=n)
     rng = np.random.default_rng(seed)
     return [
         synthetic_protein(int(rng.integers(6, 14)), seed=seed + i)
@@ -46,7 +57,12 @@ def load_protein_items(path: str, n: int, seed: int):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("-logdir", type=str, default="./run_pcn")
-    p.add_argument("-data_pkl", type=str, default="")
+    p.add_argument("-data_pkl", type=str, default="",
+                   help="protein source: generate_pkl cache, raw "
+                        "SidechainNet pickle, or casp spec (needs "
+                        "sidechainnet); empty -> synthetic stand-ins")
+    p.add_argument("-scn_split", type=str, default="train",
+                   help="split when -data_pkl is a SidechainNet dataset")
     p.add_argument("-ndata", type=int, default=64)
     p.add_argument("-n_basis", type=int, default=256)
     p.add_argument("-n_rbf", type=int, default=10)
@@ -76,7 +92,7 @@ def main(argv=None):
     with open(os.path.join(logdir, "modelparams.json"), "w") as f:
         json.dump(vars(a), f, indent=2)
 
-    items = load_protein_items(a.data_pkl, a.ndata, a.seed)
+    items = load_protein_items(a.data_pkl, a.ndata, a.seed, a.scn_split)
     ds = build_pcn_dataset(items, cg_cutoff=a.cutoff)
     n = len(ds)
     n_test = max(n // 5, 1)

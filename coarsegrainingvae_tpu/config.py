@@ -42,8 +42,11 @@ class ModelConfig:
     degree_norm: bool = False
     dropout: float = 0.0
     # compute dtype for dense-layer matmuls ("float32" or "bfloat16");
-    # geometry (coordinates, distances, unit vectors) always stays float32.
-    compute_dtype: str = "float32"
+    # geometry (coordinates, distances, unit vectors) always stays float32
+    # and params are stored float32 either way. Default bfloat16: measured
+    # -10% step time on v5e with held-out RMSD parity (A/B in DESIGN.md,
+    # examples/accuracy_ab.py).
+    compute_dtype: str = "bfloat16"
     # factored-message aggregation implementation (dense regime):
     # "einsum" (per-channel per-basis contractions) or "qmat" (all channels
     # merged into one flattened-(sender, basis) batched matmul; same math,

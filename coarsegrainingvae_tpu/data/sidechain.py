@@ -24,6 +24,16 @@ from coarsegrainingvae_tpu.data.neighbors import make_directed, radius_graph_den
 
 NUM_COORDS_PER_RES = 14
 
+# structures the reference excludes from SidechainNet ingestion
+# (problematic entries; /root/reference/CoarseGrainingVAE/sidechain.py:142-143)
+SEQ_BLACKLIST = [
+    "MPEFLEDPSVLTKDKLKSELVANNVTLPAGEQRKDVYVQLYLQHLTARNRPPLPAGTNSKGPPDFSSDE"
+    "EREPTPVLGSGAAAAGRSRAAVGRKATKKTDKPRQEDKDDLDVTELTNEDLLDQLVKYGVNPGPIVGTT"
+    "RKLYEKKLLKLREQGTESRSSTPLPTISSS",
+    "MDVKPDRVIDARGSYCPGPLMELIKAYKQAKVGEVISVYSTDAGTKKDAPAWIQKSGQELVGVFDRNGY"
+    "YEIVMKKVK",
+]
+
 THREE_LETTER_TO_ONE = {
     "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C",
     "GLN": "Q", "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I",
@@ -261,6 +271,84 @@ class PCNDatasetArrays:
                 self.ca_mask_for(idx),
                 *self.dihedrals_for(idx),
             )
+
+
+def sidechainnet_items(
+    split: dict,
+    n_data: Optional[int] = None,
+    max_len: Optional[int] = None,
+) -> List[Tuple[str, np.ndarray]]:
+    """SidechainNet split dict {'seq': [...], 'crd': [...], 'msk': [...]}
+    -> (seq, crd) items for build_pcn_dataset.
+
+    Mirrors the reference ingestion (get_sidechainet_props,
+    /root/reference/CoarseGrainingVAE/sidechain.py:187-329; driver flow
+    run_pdb.py:265-291): SEQ_BLACKLIST entries are dropped, and residues
+    whose resolution mask is not "+" get zeroed atom14 rows, which
+    protein_props then treats as missing atoms.
+    """
+    seqs, crds = split["seq"], split["crd"]
+    msks = split.get("msk")
+    items: List[Tuple[str, np.ndarray]] = []
+    for i, seq in enumerate(seqs):
+        if seq in SEQ_BLACKLIST:
+            continue
+        if max_len is not None and len(seq) > max_len:
+            continue
+        crd = np.asarray(crds[i], np.float32).reshape(
+            len(seq), NUM_COORDS_PER_RES, 3
+        )
+        if msks is not None:
+            unresolved = np.array([c != "+" for c in msks[i]], bool)
+            if unresolved.any():
+                crd = crd.copy()
+                crd[unresolved] = 0.0
+        if not np.any(crd[:, 1]):   # no resolved C-alpha at all
+            continue
+        items.append((seq, crd))
+        if n_data is not None and len(items) >= n_data:
+            break
+    return items
+
+
+def load_sidechainnet(
+    source: str,
+    split: str = "train",
+    thinning: int = 30,
+    n_data: Optional[int] = None,
+    max_len: Optional[int] = None,
+) -> List[Tuple[str, np.ndarray]]:
+    """Load a SidechainNet dataset and return (seq, crd) items for one split.
+
+    source: a path to a SidechainNet pickle on disk (the file scn.load
+    caches -- a dict of split dicts; no sidechainnet dependency needed), or
+    a CASP spec like "casp12" resolved via the sidechainnet package
+    (reference scripts/run_pdb.py:265 `scn.load(dataset, thinning=30)`).
+    Raises ImportError with instructions when the package path is requested
+    but sidechainnet is not installed.
+    """
+    import os
+    import pickle
+
+    if os.path.exists(source):
+        with open(source, "rb") as f:
+            data = pickle.load(f)
+    else:
+        try:
+            import sidechainnet as scn
+        except ImportError as e:
+            raise ImportError(
+                f"source {source!r} is not a file and the sidechainnet "
+                "package is not installed; either install sidechainnet or "
+                "point source at a SidechainNet pickle (the scn.load cache "
+                "file)"
+            ) from e
+        data = scn.load(source, thinning=thinning)
+    if split not in data:
+        raise KeyError(
+            f"split {split!r} not in SidechainNet data; have {sorted(data)}"
+        )
+    return sidechainnet_items(data[split], n_data=n_data, max_len=max_len)
 
 
 def build_pcn_dataset(

@@ -73,9 +73,20 @@ def graph_diff_ratio(ref_graph: np.ndarray, gen_graphs: np.ndarray) -> np.ndarra
     """|net bond-count difference| / ref bond count per structure -- the
     reference's 'GED ratio' ((ref-gen).sum().abs()/ref.sum(),
     sampling.py:186-190; note it is the *net* difference, preserved for
-    metric comparability)."""
+    metric comparability). A structure with one missing AND one spurious
+    bond scores 0 here -- use graph_edit_ratio for the true distance."""
     net = (ref_graph[None].astype(np.int64) - gen_graphs.astype(np.int64)).sum((1, 2))
     return np.abs(net) / max(ref_graph.sum(), 1)
+
+
+def graph_edit_ratio(ref_graph: np.ndarray, gen_graphs: np.ndarray) -> np.ndarray:
+    """TRUE edit distance between the bond graphs (node identity is fixed,
+    so GED = number of differing edges), normalized by the reference bond
+    count. Strictly >= graph_diff_ratio; 0 iff the graph matches exactly,
+    making it consistent with valid_ratio -- the reference's net-difference
+    version can score 0 on invalid structures (documented divergence)."""
+    diff = (ref_graph[None] != gen_graphs).sum(axis=(1, 2))
+    return diff / max(ref_graph.sum(), 1)
 
 
 def compute_rmsd_batch(
@@ -120,6 +131,8 @@ def evaluate_samples(
     valid_all_mask, valid_all = valid_ratio(ref_all, gen_all)
     ged_hv = graph_diff_ratio(ref_hv, gen_hv)
     ged_all = graph_diff_ratio(ref_all, gen_all)
+    edit_hv = graph_edit_ratio(ref_hv, gen_hv)
+    edit_all = graph_edit_ratio(ref_all, gen_all)
 
     heavy_rmsds = compute_rmsd_batch(gen_xyz, ref_xyz, z, valid_hv_mask)
     all_rmsds = compute_rmsd_batch(gen_xyz, ref_xyz, z, valid_all_mask)
@@ -131,6 +144,9 @@ def evaluate_samples(
         "valid_allatom_ratio": valid_all,
         "graph_val_ratio": float(ged_hv.mean()),
         "graph_allatom_val_ratio": float(ged_all.mean()),
+        # true edit distance (strict superset of the net-difference metric)
+        "graph_edit_ratio": float(edit_hv.mean()),
+        "graph_allatom_edit_ratio": float(edit_all.mean()),
     }
 
 

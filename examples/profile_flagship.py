@@ -49,13 +49,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--config", default="dipeptide",
+                   choices=["dipeptide", "chignolin"])
     p.add_argument("--dtype", default="float32")
     p.add_argument(
         "--only", default="", help="comma list: step,parts,modules (default all)"
     )
     p.add_argument("--impl", default="einsum",
                    help="message_impl for the dense flagship (einsum|qmat)")
-    p.add_argument("--pseudo-impl", dest="pseudo_impl", default="einsum",
+    p.add_argument("--pseudo-impl", dest="pseudo_impl", default="stacked",
                    help="pseudo_impl for the decoder (einsum|stacked)")
     args = p.parse_args()
     which = set(args.only.split(",")) if args.only else {"step", "parts", "modules"}
@@ -79,21 +81,31 @@ def main() -> None:
     from coarsegrainingvae_tpu.train.trainer import Trainer
 
     batch_size = args.batch
+    if args.config == "chignolin":
+        # reference README.md:64 hyperparameters (dec_type=cross)
+        mc = dict(n_cgs=6, n_basis=600, n_rbf=10, atom_cutoff=12.0,
+                  cg_cutoff=25.0, enc_nconv=2, dec_nconv=9,
+                  activation="swish", dec_type="cross", breaksym=False)
+        if args.batch == 32:
+            batch_size = 2
+    else:
+        mc = dict(n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5,
+                  cg_cutoff=9.5, enc_nconv=4, dec_nconv=5,
+                  activation="swish", dec_type="pseudo", breaksym=True)
     cfg = ExperimentConfig(
         model=ModelConfig(
-            n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
-            enc_nconv=4, dec_nconv=5, activation="swish", dec_type="pseudo",
-            breaksym=True, compute_dtype=args.dtype, message_impl=args.impl,
+            **mc, compute_dtype=args.dtype, message_impl=args.impl,
             pseudo_impl=args.pseudo_impl,
         ),
         data=DataConfig(batch_size=batch_size),
         train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01),
     )
     z, frames, bonds = synthetic_peptide(
-        "dipeptide", n_frames=max(64, 2 * batch_size), seed=0)
-    mapping = newman_mapping(bonds, z.shape[0], 3, seed=0)
+        args.config, n_frames=max(64, 2 * batch_size), seed=0)
+    mapping = newman_mapping(bonds, z.shape[0], cfg.model.n_cgs, seed=0)
     ds = build_dataset(
-        mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,
+        mapping, frames, atom_cutoff=cfg.model.atom_cutoff,
+        cg_cutoff=cfg.model.cg_cutoff, atomic_nums=z,
         bonds=bonds, order=2, rotate=True,
     )
     model = DenseCGVAE(cfg=cfg.model)
@@ -107,7 +119,6 @@ def main() -> None:
                       "pseudo": args.pseudo_impl,
                       "backend": jax.devices()[0].platform}), flush=True)
 
-    g = flatten_batch(batch)
 
     if "step" in which:
         # 1. full train step

@@ -140,3 +140,16 @@ def test_save_runtime(tmp_path):
     p = str(tmp_path / "rt.json")
     save_runtime(12.5, p)
     assert json.load(open(p))["wall_clock_s"] == 12.5
+
+
+def test_vmd_render_script(tmp_path):
+    from coarsegrainingvae_tpu.utils.vmd import write_vmd_render_script
+
+    p = write_vmd_render_script(str(tmp_path / "render.vmd"), style="licorice")
+    text = open(p).read()
+    assert "Licorice" in text and "Background white" in text
+    assert "axes location Off" in text
+    import pytest
+
+    with pytest.raises(KeyError):
+        write_vmd_render_script(str(tmp_path / "x.vmd"), style="nope")

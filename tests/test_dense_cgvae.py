@@ -14,9 +14,12 @@ from coarsegrainingvae_tpu.train.trainer import Trainer
 
 def _cfg(dec_type="pseudo", det=False):
     return ExperimentConfig(
+        # f32 pinned: these tests assert tight-tolerance equivariance /
+        # drop-in parity, independent of the bf16 perf default
         model=ModelConfig(n_cgs=3, n_basis=16, n_rbf=5, atom_cutoff=8.5,
                           cg_cutoff=9.5, enc_nconv=1, dec_nconv=1,
-                          dec_type=dec_type, breaksym=True, det=det),
+                          dec_type=dec_type, breaksym=True, det=det,
+                          compute_dtype="float32"),
         data=DataConfig(batch_size=8),
         train=TrainConfig(lr=2e-3, beta=0.01, gamma=1.0),
     )

@@ -19,9 +19,10 @@ def _setup(n_frames=32):
     ds = build_dataset(mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5,
                        atomic_nums=z, bonds=bonds, order=2, rotate=False)
     cfg = ExperimentConfig(
+        # f32 pinned: scan/multi-device parity asserts near-exact agreement
         model=ModelConfig(n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5,
                           cg_cutoff=9.5, enc_nconv=1, dec_nconv=1,
-                          dec_type="painn"),
+                          dec_type="painn", compute_dtype="float32"),
         data=DataConfig(batch_size=8, seed=0),
         train=TrainConfig(lr=1e-3, beta=0.01, gamma=1.0),
     )

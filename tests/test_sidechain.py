@@ -198,3 +198,60 @@ def test_generate_cache_from_pdb_dir(tmp_path):
     z = np.load(out, allow_pickle=True)
     assert z["z"].shape[0] == 2
     assert len(z["seqs"]) == 2
+
+
+def test_sidechainnet_items_mask_and_blacklist():
+    """Raw SidechainNet split dict -> items: SEQ_BLACKLIST dropped,
+    unresolved residues (msk != '+') zeroed so their atoms vanish
+    (reference sidechain.py:187-329 ingestion semantics)."""
+    import numpy as np
+    from coarsegrainingvae_tpu.data.sidechain import (
+        NUM_COORDS_PER_RES,
+        SEQ_BLACKLIST,
+        build_pcn_dataset,
+        protein_props,
+        sidechainnet_items,
+    )
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+
+    seq1, crd1 = synthetic_protein(6, seed=0)
+    seq2, crd2 = synthetic_protein(5, seed=1)
+    split = {
+        "seq": [seq1, SEQ_BLACKLIST[0], seq2],
+        "crd": [
+            np.asarray(crd1).reshape(-1, 3),
+            np.zeros((len(SEQ_BLACKLIST[0]) * NUM_COORDS_PER_RES, 3)),
+            np.asarray(crd2).reshape(-1, 3),
+        ],
+        "msk": ["+" * len(seq1), "+" * len(SEQ_BLACKLIST[0]),
+                "+-" + "+" * (len(seq2) - 2)],
+    }
+    items = sidechainnet_items(split)
+    assert len(items) == 2  # blacklist entry dropped
+    assert items[0][0] == seq1
+
+    # residue 1 of seq2 was unresolved: none of its atoms survive
+    props = protein_props(*items[1])
+    assert not np.any(props.mapping == 1)
+    # and the whole thing still builds a padded dataset
+    ds = build_pcn_dataset(items)
+    assert ds.z.shape[0] == 2
+
+    # n_data cap applies after filtering
+    assert len(sidechainnet_items(split, n_data=1)) == 1
+
+
+def test_load_sidechainnet_pickle_roundtrip(tmp_path):
+    import pickle
+
+    import numpy as np
+    from coarsegrainingvae_tpu.data.sidechain import load_sidechainnet
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+
+    seq, crd = synthetic_protein(7, seed=3)
+    data = {"train": {"seq": [seq], "crd": [np.asarray(crd).reshape(-1, 3)]}}
+    p = tmp_path / "scn_casp12_30.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    items = load_sidechainnet(str(p), split="train")
+    assert len(items) == 1 and items[0][0] == seq

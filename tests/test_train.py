@@ -21,9 +21,11 @@ from coarsegrainingvae_tpu.train.controller import (
 
 def _cfg(batch_size=8, nepochs=2):
     return ExperimentConfig(
+        # f32 pinned: multi-device parity asserts near-exact agreement
         model=ModelConfig(
             n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
             enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+            compute_dtype="float32",
         ),
         data=DataConfig(batch_size=batch_size, seed=0),
         train=TrainConfig(nepochs=nepochs, lr=1e-3, beta=0.05, gamma=1.0,

@@ -100,3 +100,44 @@ def test_trained_recon_validity_nonzero():
     assert out["heavy_valid_ratio"] > 0.05, out
     assert np.isfinite(out["all_atom_rmsd"])
     assert out["all_atom_rmsd"] < 1.3, out["all_atom_rmsd"]
+
+
+def test_graph_edit_ratio_catches_compensating_errors():
+    """A missing bond + a spurious bond net to 0 under the reference's
+    net-difference 'GED' but score 2/ref_bonds under the true edit
+    distance (eval/metrics.py divergence note)."""
+    import numpy as np
+    from coarsegrainingvae_tpu.eval.metrics import (
+        graph_diff_ratio,
+        graph_edit_ratio,
+    )
+
+    n = 5
+    ref = np.zeros((n, n), np.int8)
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        ref[a, b] = ref[b, a] = 1
+    gen = ref.copy()
+    gen[0, 1] = gen[1, 0] = 0   # missing bond
+    gen[0, 4] = gen[4, 0] = 1   # spurious bond
+
+    assert graph_diff_ratio(ref, gen[None])[0] == 0.0      # blind
+    # 4 differing entries (2 bonds x symmetric) / 8 ref entries
+    assert graph_edit_ratio(ref, gen[None])[0] == 0.5      # sees both
+    # exact match scores 0 on both
+    assert graph_edit_ratio(ref, ref[None])[0] == 0.0
+
+
+def test_newman_mapping_lumps_excess_components_into_last_bead():
+    """When cutting produces more components than n_cgs, components beyond
+    n_cgs-1 collapse into the last bead (same behavior class as the
+    reference's parition2mapping, datasets.py:374-385) -- every bead stays
+    populated and no index exceeds n_cgs-1."""
+    import numpy as np
+    from coarsegrainingvae_tpu.data.mappings import newman_mapping
+
+    # 4 disconnected dimers -> 4 components but only 2 beads requested
+    bonds = np.array([[0, 1], [2, 3], [4, 5], [6, 7]])
+    mapping = newman_mapping(bonds, 8, 2, seed=0)
+    assert mapping.max() == 1 and mapping.min() == 0
+    # first component keeps bead 0; all later components lump into bead 1
+    assert (mapping == 1).sum() == 6

@@ -137,6 +137,12 @@ class ParallelConfig:
 
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None -> all available
+    # ZeRO-1-style optimizer-state sharding over the data axis: each chip
+    # holds 1/n of the Adam moments and all-gathers updates over ICI
+    # (parallel/mesh.py::zero_shardings). Off by default (single-chip runs
+    # gain nothing); parity with the replicated optimizer is pinned by
+    # tests/test_device_data.py on the virtual 8-device mesh.
+    zero_optimizer: bool = False
 
 
 @dataclass(frozen=True)

@@ -59,6 +59,13 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.parallel.num_devices)
         self.tx = make_optimizer(cfg.train.grad_clip)
+        # ZeRO-1 optimizer-state sharding (parallel/mesh.py::zero_shardings);
+        # resolved to concrete shardings once the state exists (init_state)
+        self._zero = (
+            getattr(cfg.parallel, "zero_optimizer", False)
+            and self.mesh.devices.size > 1
+        )
+        self._opt_shardings = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._recon_step = jax.jit(self._recon_step_impl)
@@ -100,7 +107,15 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             lr=jnp.asarray(self.cfg.train.lr, jnp.float32),
         )
-        return replicate(state, self.mesh)
+        state = replicate(state, self.mesh)
+        if self._zero:
+            from coarsegrainingvae_tpu.parallel.mesh import zero_shardings
+
+            self._opt_shardings = zero_shardings(state.opt_state, self.mesh)
+            state = state.replace(
+                opt_state=jax.device_put(state.opt_state, self._opt_shardings)
+            )
+        return state
 
     # ----------------------------------------------------------------- steps
     def _loss_fn(self, params, batch: CGBatch, rng) -> Tuple[jnp.ndarray, Dict]:
@@ -134,6 +149,12 @@ class Trainer:
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
         )
+        if self._opt_shardings is not None:
+            # keep the moments ZeRO-sharded: XLA partitions the Adam update
+            # per shard and all-gathers only the param updates
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self._opt_shardings
+            )
         metrics = dict(metrics, skipped=1.0 - scale, grad_ok=scale)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, lr=state.lr

@@ -185,6 +185,7 @@ class CGprior(nn.Module):
 
         mu = MLP([self.feat_dim, self.feat_dim], activation="Tanh", dtype=self.dtype)(h)
         logvar = MLP([self.feat_dim, self.feat_dim], activation="Tanh", dtype=self.dtype)(h)
+        logvar = jnp.clip(logvar, -30.0, 30.0)
         sigma = 1e-9 + jnp.exp(logvar / 2.0)
         return mu, sigma
 
@@ -419,6 +420,7 @@ class CGequiVAE(nn.Module):
 
         mu = self.atom_munet(S_I)
         logvar = self.atom_sigmanet(S_I)
+        logvar = jnp.clip(logvar, -30.0, 30.0)
         sigma = 1e-12 + jnp.exp(logvar / 2.0)
 
         if not self.cfg.det:

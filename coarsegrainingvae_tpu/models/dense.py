@@ -305,6 +305,7 @@ class DenseCGPrior(nn.Module):
         mu = Dense(self.feat_dim, dtype=self.dtype)(mu)
         logvar = Dense(self.feat_dim, activation="Tanh", dtype=self.dtype)(H)
         logvar = Dense(self.feat_dim, dtype=self.dtype)(logvar)
+        logvar = jnp.clip(logvar, -30.0, 30.0)
         sigma = 1e-9 + jnp.exp(logvar / 2.0)
         return mu, sigma
 

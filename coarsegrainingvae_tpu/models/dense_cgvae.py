@@ -290,12 +290,15 @@ class DenseCGVAE(nn.Module):
             Vp = Vp + dV
         prior_mu = MLP([f, f], activation="Tanh", dtype=dtype)(Hp)
         prior_lv = MLP([f, f], activation="Tanh", dtype=dtype)(Hp)
-        prior_sigma = 1e-9 + jnp.exp(prior_lv / 2.0)
+        # logvar clamps: an unbounded variance head can walk exp() to inf
+        # under aggressive LR (observed at chignolin scale, either dtype);
+        # [-30, 30] is inert in any healthy regime (sigma ~3e-7..3e6)
+        prior_sigma = 1e-9 + jnp.exp(jnp.clip(prior_lv, -30.0, 30.0) / 2.0)
 
         # ------------------------------------------------ posterior heads
         mu = MLP([f, f], activation="ReLU", dtype=dtype)(H)
         logvar = MLP([f, f], activation="ReLU", dtype=dtype)(H)
-        sigma = 1e-12 + jnp.exp(logvar / 2.0)
+        sigma = 1e-12 + jnp.exp(jnp.clip(logvar, -30.0, 30.0) / 2.0)
 
         if generate:
             eps = jax.random.normal(self.make_rng("sample"), prior_mu.shape,

@@ -178,6 +178,7 @@ class DiffPoolVAE(nn.Module):
 
         mu = self.atom_munet(H_z)
         logvar = self.atom_sigmanet(H_z)
+        logvar = jnp.clip(logvar, -30.0, 30.0)
         sigma = 1e-9 + jnp.exp(logvar / 2.0)
 
         if self.cfg.det:

@@ -198,7 +198,11 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         ds_val = ds_train_full.subset(np.arange(n_val))
         ds_tr = ds_train_full.subset(np.arange(n_val, len(ds_train_full)))
 
-        if sparse:
+        if sparse or cfg.model.dec_type in ("pseudo2", "en", "inv"):
+            # pseudo2/en/inv decoders exist only in the sparse formulation
+            if not sparse and fold == 0:
+                print(f"dec_type={cfg.model.dec_type}: using the sparse "
+                      "(segment-sum) formulation")
             model = CGequiVAE(cfg=cfg.model)
         else:
             # dense-regime flagship: ~5.5x the segment-sum path at small

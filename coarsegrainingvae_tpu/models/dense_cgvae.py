@@ -327,7 +327,7 @@ class DenseCGVAE(nn.Module):
                     feat_dim=f, activation=c.activation, dtype=dtype
                 )(S, Vd)
                 S, Vd = S + dS, Vd + dV
-        else:
+        elif c.dec_type in ("cross", "painn"):
             cross = c.dec_type == "cross"
             for _ in range(c.dec_nconv):
                 dS, dV = DenseFactoredEquiMessage(
@@ -340,6 +340,13 @@ class DenseCGVAE(nn.Module):
                     feat_dim=f, activation=c.activation, dtype=dtype
                 )(S, Vd)
                 S, Vd = S + dS, Vd + dV
+        else:
+            # pseudo2/en/inv exist only in the sparse formulation
+            # (models/cgvae.py); refusing beats silently training painn
+            raise ValueError(
+                f"DenseCGVAE has no dec_type={c.dec_type!r} decoder; use "
+                "the sparse CGequiVAE (--sparse) for pseudo2/en/inv"
+            )
 
         # --------------------------------------------- channel lift + COM
         per_atom = jnp.take_along_axis(

@@ -16,3 +16,7 @@ from coarsegrainingvae_tpu.ops.geometry import (
     rotate,
 )
 from coarsegrainingvae_tpu.ops.pallas_message import fused_message, message_reference
+from coarsegrainingvae_tpu.ops.pallas_pseudo import (
+    fused_pseudo_message,
+    pseudo_reference,
+)

@@ -104,3 +104,17 @@ def test_dense_cgvae_trains_with_standard_trainer(data):
         nepochs=4,
     )
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_dense_rejects_sparse_only_dec_types(data):
+    """pseudo2/en/inv exist only in the sparse formulation; the dense
+    flagship must refuse rather than silently training a painn decoder."""
+    import pytest as _pytest
+
+    cfg = _cfg(dec_type="pseudo2")
+    ds = data
+    model = DenseCGVAE(cfg=cfg.model)
+    batch = ds.batch(np.arange(4))
+    with _pytest.raises(ValueError, match="pseudo2"):
+        model.init({"params": jax.random.PRNGKey(0),
+                    "sample": jax.random.PRNGKey(1)}, batch)

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "spaced indices with a warning")
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-checkpoint_every", type=int, default=0)
+    p.add_argument("-max_folds", type=int, default=0,
+                   help="run only the first K CV folds (0 = all); the fold "
+                        "split itself still uses -nsplits")
     p.add_argument("--dec_type", type=str, default="cross",
                    choices=["pseudo", "pseudo2", "cross", "painn", "en", "inv"])
     p.add_argument("--graph_eval", action="store_true", default=False)
@@ -157,7 +160,8 @@ def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
 
 def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
            graph_eval: bool = False, reflection: bool = False,
-           resume: bool = False, sparse: bool = False) -> list:
+           resume: bool = False, sparse: bool = False,
+           max_folds: int = 0) -> list:
     """The main CV loop (run_cv, run_ala.py:75-414). Returns cv rows."""
     os.makedirs(cfg.logdir, exist_ok=True)
     cfg.save(os.path.join(cfg.logdir, "modelparams.json"))
@@ -170,6 +174,8 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
     rows = []
 
     for fold, (train_idx, test_idx) in enumerate(folds):
+        if max_folds and fold >= max_folds:
+            break
         t0 = time.time()
         split_dir = os.path.join(cfg.logdir, f"fold{fold}")
         os.makedirs(split_dir, exist_ok=True)
@@ -300,7 +306,7 @@ def main(argv=None) -> list:
     return run_cv(
         cfg, n_ensemble=args.n_ensemble, nevals=args.nevals,
         graph_eval=args.graph_eval, reflection=args.reflectiontest,
-        resume=args.resume, sparse=args.sparse,
+        resume=args.resume, sparse=args.sparse, max_folds=args.max_folds,
     )
 
 

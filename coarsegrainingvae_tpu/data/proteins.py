@@ -95,7 +95,22 @@ def load_frames(
         if loaded is not None:
             z, xyz, bonds = loaded
         else:
-            z, xyz, bonds = synthetic_peptide(name, n_frames=ndata, seed=seed)
+            # synthetic generation relaxes every frame against covalent
+            # cutoffs (minutes at protein scale) -- cache per
+            # (name, ndata, seed) so repeat runs skip it
+            import tempfile
+
+            cdir = os.path.join(tempfile.gettempdir(), "cgvae_synth_cache")
+            cpath = os.path.join(cdir, f"{name}_{ndata}_{seed}.npz")
+            if os.path.exists(cpath):
+                with np.load(cpath) as d:
+                    z, xyz, bonds = d["z"], d["xyz"], d["bonds"]
+            else:
+                z, xyz, bonds = synthetic_peptide(name, n_frames=ndata, seed=seed)
+                os.makedirs(cdir, exist_ok=True)
+                tmp = cpath + ".tmp.npz"
+                np.savez_compressed(tmp, z=z, xyz=xyz, bonds=bonds)
+                os.replace(tmp, cpath)
 
     if shuffle:
         # shuffle_traj (scripts/utils.py:17-20)

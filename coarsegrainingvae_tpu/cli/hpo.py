@@ -14,8 +14,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import itertools
 import math
 import os
+import time
 from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -67,13 +69,15 @@ def random_search(
     rows = []
     for t in range(n_trials):
         cfg = sample_config(space, rng)
+        t0 = time.monotonic()
         try:
             val = float(objective(cfg))
             failed = not np.isfinite(val)
         except Exception as e:  # noqa: BLE001 - a failed trial is data
             val, failed = float("nan"), True
             cfg = dict(cfg, error=repr(e)[:200])
-        row = dict(cfg, trial=t, value=val, failed=failed)
+        row = dict(cfg, trial=t, value=val, failed=failed,
+                   wall_s=round(time.monotonic() - t0, 3))
         logger.log(row)
         rows.append(row)
         if not failed and val < best_val:
@@ -103,13 +107,15 @@ def asha_search(
     while trials:
         scored = []
         for i, cfg in enumerate(trials):
+            t0 = time.monotonic()
             try:
                 val = float(objective(cfg, epochs))
                 failed = not np.isfinite(val)
             except Exception as e:  # noqa: BLE001
                 val, failed = float("nan"), True
                 cfg = dict(cfg, error=repr(e)[:200])
-            row = dict(cfg, rung=rung, epochs=epochs, value=val, failed=failed)
+            row = dict(cfg, rung=rung, epochs=epochs, value=val, failed=failed,
+                       wall_s=round(time.monotonic() - t0, 3))
             logger.log(row)
             rows.append(row)
             if not failed:
@@ -131,6 +137,10 @@ def _cv_objective(args: argparse.Namespace):
     from coarsegrainingvae_tpu.cli.run_cgvae import params_to_config, run_cv
     from coarsegrainingvae_tpu.config import ExperimentConfig
 
+    # deterministic trial naming: identical -seed reruns produce identical
+    # logdirs (the objective is called in a fixed order by both strategies)
+    trial_counter = itertools.count()
+
     def objective(cfg: Dict[str, Any], epochs: int = None) -> float:
         ns = argparse.Namespace(**vars(args))
         for k, v in cfg.items():
@@ -140,7 +150,7 @@ def _cv_objective(args: argparse.Namespace):
         exp = ExperimentConfig(
             model=exp.model, data=exp.data, train=exp.train,
             parallel=exp.parallel,
-            logdir=os.path.join(args.logdir, f"trial_{np.random.randint(1 << 30)}"),
+            logdir=os.path.join(args.logdir, f"trial_{next(trial_counter):04d}"),
         )
         rows = run_cv(exp, n_ensemble=2, nevals=4, graph_eval=False)
         if not rows:

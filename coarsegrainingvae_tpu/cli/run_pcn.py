@@ -39,11 +39,10 @@ def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train"):
             d = pickle.load(f)
         if "seq" in d:
             return list(zip(d["seq"], d["crd"]))[:n]
-        # raw SidechainNet dataset: dict of split dicts
-        from coarsegrainingvae_tpu.data.sidechain import sidechainnet_items
-
-        return sidechainnet_items(d[scn_split], n_data=n)
-    if path:  # non-path spec, e.g. "casp12" via the sidechainnet package
+    if path:
+        # raw SidechainNet dataset on disk, or a casp spec like "casp12"
+        # resolved by the sidechainnet package; load_sidechainnet raises a
+        # friendly have-these-splits error for a missing split either way
         from coarsegrainingvae_tpu.data.sidechain import load_sidechainnet
 
         return load_sidechainnet(path, split=scn_split, n_data=n)

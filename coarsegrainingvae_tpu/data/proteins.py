@@ -97,11 +97,16 @@ def load_frames(
         else:
             # synthetic generation relaxes every frame against covalent
             # cutoffs (minutes at protein scale) -- cache per
-            # (name, ndata, seed) so repeat runs skip it
+            # (generator version, name, ndata, seed) so repeat runs skip it
+            # and generator changes invalidate instead of serving stale
             import tempfile
 
+            from coarsegrainingvae_tpu.data.synthetic import SYNTH_VERSION
+
             cdir = os.path.join(tempfile.gettempdir(), "cgvae_synth_cache")
-            cpath = os.path.join(cdir, f"{name}_{ndata}_{seed}.npz")
+            cpath = os.path.join(
+                cdir, f"v{SYNTH_VERSION}_{name}_{ndata}_{seed}.npz"
+            )
             if os.path.exists(cpath):
                 with np.load(cpath) as d:
                     z, xyz, bonds = d["z"], d["xyz"], d["bonds"]

@@ -284,8 +284,10 @@ def sidechainnet_items(
     Mirrors the reference ingestion (get_sidechainet_props,
     /root/reference/CoarseGrainingVAE/sidechain.py:187-329; driver flow
     run_pdb.py:265-291): SEQ_BLACKLIST entries are dropped, and residues
-    whose resolution mask is not "+" get zeroed atom14 rows, which
-    protein_props then treats as missing atoms.
+    whose resolution mask is not "+" are DROPPED from seq/crd and the rest
+    renumbered (reference mask_seq semantics, sidechain.py:163-164 + the
+    resolved-only `map` counter at :270-287) -- an unresolved residue must
+    not survive as a zero-coordinate CG bead.
     """
     seqs, crds = split["seq"], split["crd"]
     msks = split.get("msk")
@@ -299,11 +301,11 @@ def sidechainnet_items(
             len(seq), NUM_COORDS_PER_RES, 3
         )
         if msks is not None:
-            unresolved = np.array([c != "+" for c in msks[i]], bool)
-            if unresolved.any():
-                crd = crd.copy()
-                crd[unresolved] = 0.0
-        if not np.any(crd[:, 1]):   # no resolved C-alpha at all
+            resolved = np.array([c == "+" for c in msks[i]], bool)
+            if not resolved.all():
+                seq = "".join(s for s, r in zip(seq, resolved) if r)
+                crd = crd[resolved]
+        if len(seq) == 0 or not np.any(crd[:, 1]):  # no resolved C-alpha
             continue
         items.append((seq, crd))
         if n_data is not None and len(items) >= n_data:

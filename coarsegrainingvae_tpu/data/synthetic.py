@@ -18,6 +18,10 @@ from typing import Tuple
 
 import numpy as np
 
+# bump whenever generation/relaxation changes so on-disk ensemble caches
+# (data/proteins.py) are invalidated instead of silently served stale
+SYNTH_VERSION = 3
+
 # dipeptide stand-in matches alanine dipeptide's size: 22 atoms, 10 heavy
 _PRESETS = {
     "dipeptide": dict(n_heavy=10, n_frames_default=20000),

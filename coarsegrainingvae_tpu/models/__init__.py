@@ -7,6 +7,7 @@ from coarsegrainingvae_tpu.models.conv import (
     EquiMessagePseudo,
     EquiMessagePseudo2,
     InvMessageBlock,
+    InvariantFilter,
     InvariantMessage,
     PseudoUpdateBlock,
     UpdateBlock,

@@ -494,6 +494,22 @@ class PseudoUpdateBlock(nn.Module):
         return dsbar, dvbar
 
 
+class InvariantFilter(nn.Module):
+    """3-way linear edge-filter helper (reference conv.py:739-755): one
+    biased F -> 3F Dense over per-edge invariant messages, split into three
+    F-wide filters. Unused by the reference drivers; provided for the full
+    §2.2 component surface. One (E, F) @ (F, 3F) MXU matmul."""
+
+    feat_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m_ij: Array) -> Tuple[Array, Array, Array]:
+        f = Dense(3 * self.feat_dim, dtype=self.dtype)(m_ij)
+        f = f.reshape(m_ij.shape[0], 3, self.feat_dim)
+        return f[:, 0], f[:, 1], f[:, 2]
+
+
 class ContractiveMessageBlock(nn.Module):
     """Atom -> CG pooling message along r_iI = x_i - X_map(i)
     (conv.py:677-733). Per-atom (not per-edge) compute + one segment-sum

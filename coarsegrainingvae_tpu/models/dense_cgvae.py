@@ -84,6 +84,14 @@ class DenseEquiMessagePseudo(nn.Module):
         dist: Array, unit: Array, adj: Array,
         xyz: Array = None, node_mask: Array = None,
     ) -> Tuple[Array, Array, Array, Array]:
+        # CONSTRAINT (impl='pallas'): the fused kernel IGNORES dist/unit/adj
+        # and recomputes pair geometry + the cutoff adjacency inside VMEM
+        # from xyz/node_mask, using the same eps/cutoff/mask recipe as
+        # radius_adjacency/dense_pairwise. Callers must pass the plain
+        # radius adjacency of (xyz, node_mask, self.cutoff) -- a modified
+        # adj (e.g. degree-normalized) silently diverges from the
+        # einsum/stacked impls. DenseCGVAE satisfies this by construction;
+        # parity across impls is pinned by tests/test_dense_cgvae.py.
         f = self.feat_dim
         if self.impl == "pallas":
             from coarsegrainingvae_tpu.ops.pallas_pseudo import (

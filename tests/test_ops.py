@@ -104,3 +104,24 @@ def test_rotation_matrices_orthogonal():
     eye = np.einsum("nij,nkj->nik", r, r)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (5, 3, 3)), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_invariant_filter_shapes_and_linearity():
+    # 3-way linear edge-filter helper (reference conv.py:739-755)
+    from coarsegrainingvae_tpu.models.conv import InvariantFilter
+
+    f = 8
+    mod = InvariantFilter(feat_dim=f)
+    m = jnp.asarray(np.random.default_rng(0).normal(size=(12, f)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), m)
+    f1, f2, f3 = mod.apply(params, m)
+    assert f1.shape == f2.shape == f3.shape == (12, f)
+    # affine in the input: F(a+b) - F(b) == F(a) - F(0)
+    a = jnp.asarray(np.random.default_rng(1).normal(size=(12, f)).astype(np.float32))
+    lhs = mod.apply(params, m + a)[0] - mod.apply(params, m)[0]
+    rhs = mod.apply(params, a)[0] - mod.apply(params, jnp.zeros_like(a))[0]
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+    # the three filters come from disjoint slices of one Dense: perturbing
+    # the input changes all three consistently with a single linear map
+    full = jnp.concatenate([f1, f2, f3], axis=-1)
+    assert full.shape == (12, 3 * f)

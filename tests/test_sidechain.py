@@ -202,8 +202,9 @@ def test_generate_cache_from_pdb_dir(tmp_path):
 
 def test_sidechainnet_items_mask_and_blacklist():
     """Raw SidechainNet split dict -> items: SEQ_BLACKLIST dropped,
-    unresolved residues (msk != '+') zeroed so their atoms vanish
-    (reference sidechain.py:187-329 ingestion semantics)."""
+    unresolved residues (msk != '+') DROPPED from seq/crd and renumbered
+    (reference mask_seq, sidechain.py:163-164,270-287) -- no phantom
+    zero-coordinate CG beads may survive."""
     import numpy as np
     from coarsegrainingvae_tpu.data.sidechain import (
         NUM_COORDS_PER_RES,
@@ -230,12 +231,26 @@ def test_sidechainnet_items_mask_and_blacklist():
     assert len(items) == 2  # blacklist entry dropped
     assert items[0][0] == seq1
 
-    # residue 1 of seq2 was unresolved: none of its atoms survive
-    props = protein_props(*items[1])
-    assert not np.any(props.mapping == 1)
-    # and the whole thing still builds a padded dataset
+    # residue 1 of seq2 was unresolved: it is dropped and the rest
+    # renumbered, so the item's sequence shrinks by one
+    mseq, mcrd = items[1]
+    assert mseq == seq2[0] + seq2[2:]
+    assert mcrd.shape[0] == len(seq2) - 1
+    props = protein_props(mseq, mcrd)
+    # every surviving residue has a real (nonzero) C-alpha -> no phantom
+    # origin bead can enter the C-alpha radius graph
+    assert np.all(np.any(props.ca_xyz != 0.0, axis=-1))
+    # and the whole thing still builds a padded dataset whose unmasked
+    # beads all carry real coordinates
     ds = build_pcn_dataset(items)
     assert ds.z.shape[0] == 2
+    for s in range(2):
+        beads = ds.ca_xyz[s][ds.cg_mask[s]]
+        assert np.all(np.any(beads != 0.0, axis=-1))
+        # no CG edge touches a masked (nonexistent) bead
+        live = ds.nbrs[s][ds.nbr_mask[s]]
+        n_res = int(ds.cg_mask[s].sum())
+        assert live.size == 0 or live.max() < n_res
 
     # n_data cap applies after filtering
     assert len(sidechainnet_items(split, n_data=1)) == 1

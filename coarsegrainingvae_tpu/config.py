@@ -101,6 +101,11 @@ class TrainConfig:
     min_lr: float = 5e-8        # scheduler floor (run_ala.py:213-215)
     loss_skip_factor: float = 200.0  # skip batch if loss >= gamma*200 (utils.py:145)
     lowess_frac: float = 0.2    # LOWESS smoothing of val loss (run_ala.py:261-274)
+    # Adam moment storage ("float32" | "bfloat16"). The optimizer is the
+    # largest single HBM stream of the flagship step; bfloat16 moments cut
+    # its traffic ~1/3 (train/trainer.py::scale_by_adam_compact). Update
+    # math stays float32. Accuracy gated by examples/accuracy_ab.py.
+    adam_moment_dtype: str = "float32"
     checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
     log_every: int = 1
 
@@ -137,6 +142,10 @@ class ParallelConfig:
 
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None -> all available
+    # devices along the 'model' (tensor) axis of a 2-D ('data','model')
+    # mesh: feature-dim sharding of every n_basis-wide matmul
+    # (parallel/mesh.py::tensor_shardings). 1 -> pure data parallelism.
+    model_devices: int = 1
     # ZeRO-1-style optimizer-state sharding over the data axis: each chip
     # holds 1/n of the Adam moments and all-gathers updates over ICI
     # (parallel/mesh.py::zero_shardings). Off by default (single-chip runs

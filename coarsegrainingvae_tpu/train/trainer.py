@@ -39,16 +39,74 @@ class TrainState:
     lr: jnp.ndarray  # current learning rate (device scalar, set by controller)
 
 
-def make_optimizer(grad_clip: float) -> optax.GradientTransformation:
+def scale_by_adam_compact(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    moment_dtype=jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in ``moment_dtype``.
+
+    The Adam update is HBM-bandwidth bound on TPU: per step it reads and
+    writes params + mu + nu (3x param bytes each way). Storing the moments
+    in bfloat16 halves two of those three streams (~1/3 less optimizer
+    traffic); the update math still runs in float32 (moments are upcast,
+    blended, and rounded back down once per step). bf16 keeps float32's
+    exponent range, so only ~3 decimal digits of moment resolution are
+    lost -- held-out accuracy parity is gated by examples/accuracy_ab.py
+    exactly like the bf16-matmul default was.
+
+    optax.scale_by_adam only offers mu_dtype (first moment); this covers nu
+    as well. Parity with optax at float32 is pinned by
+    tests/test_train.py."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def blend(g, m, n):
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            n32 = b2 * n.astype(jnp.float32) + (1.0 - b2) * (g * g)
+            upd = (m32 / c1) / (jnp.sqrt(n32 / c2) + eps)
+            return upd, m32.astype(moment_dtype), n32.astype(moment_dtype)
+
+        out = jax.tree.map(blend, updates, state.mu, state.nu)
+        upd = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+        return upd, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    grad_clip: float, moment_dtype: str = "float32"
+) -> optax.GradientTransformation:
     """clip-by-global-norm + Adam with an externally-injected LR.
 
     The LR is passed per-step through the optimizer state-free way: we use
     optax.scale_by_adam + a multiply by -lr performed in the step (the
-    plateau controller owns the schedule on host)."""
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.scale_by_adam(),
+    plateau controller owns the schedule on host).
+
+    moment_dtype="bfloat16" stores the Adam moments compactly
+    (scale_by_adam_compact) -- the optimizer is the largest single HBM
+    stream of the flagship step (DESIGN.md roofline)."""
+    adam = (
+        optax.scale_by_adam()
+        if moment_dtype == "float32"
+        else scale_by_adam_compact(moment_dtype=jnp.dtype(moment_dtype))
     )
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
 
 
 class Trainer:
@@ -57,13 +115,28 @@ class Trainer:
     def __init__(self, model, cfg: ExperimentConfig, mesh=None):
         self.model = model
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.parallel.num_devices)
-        self.tx = make_optimizer(cfg.train.grad_clip)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.parallel.num_devices,
+            model_devices=getattr(cfg.parallel, "model_devices", 1),
+        )
+        self.tx = make_optimizer(
+            cfg.train.grad_clip,
+            getattr(cfg.train, "adam_moment_dtype", "float32"),
+        )
+        # tensor (feature-dim) parallelism over a 2-D ('data','model') mesh:
+        # params/moments column-sharded (parallel/mesh.py::tensor_shardings)
+        self._tp = (
+            "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1
+        )
+        self._param_shardings = None
         # ZeRO-1 optimizer-state sharding (parallel/mesh.py::zero_shardings);
-        # resolved to concrete shardings once the state exists (init_state)
+        # resolved to concrete shardings once the state exists (init_state).
+        # With TP active the moments follow the params' tensor shardings
+        # instead (already 1/model_devices per chip along the data axis).
         self._zero = (
             getattr(cfg.parallel, "zero_optimizer", False)
             and self.mesh.devices.size > 1
+            and not self._tp
         )
         self._opt_shardings = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -108,7 +181,16 @@ class Trainer:
             lr=jnp.asarray(self.cfg.train.lr, jnp.float32),
         )
         state = replicate(state, self.mesh)
-        if self._zero:
+        if self._tp:
+            from coarsegrainingvae_tpu.parallel.mesh import tensor_shardings
+
+            self._param_shardings = tensor_shardings(state.params, self.mesh)
+            self._opt_shardings = tensor_shardings(state.opt_state, self.mesh)
+            state = state.replace(
+                params=jax.device_put(state.params, self._param_shardings),
+                opt_state=jax.device_put(state.opt_state, self._opt_shardings),
+            )
+        elif self._zero:
             from coarsegrainingvae_tpu.parallel.mesh import zero_shardings
 
             self._opt_shardings = zero_shardings(state.opt_state, self.mesh)
@@ -150,10 +232,15 @@ class Trainer:
             lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
         )
         if self._opt_shardings is not None:
-            # keep the moments ZeRO-sharded: XLA partitions the Adam update
-            # per shard and all-gathers only the param updates
+            # keep the moments ZeRO-/tensor-sharded: XLA partitions the Adam
+            # update per shard and gathers only what the apply step needs
             opt_state = jax.lax.with_sharding_constraint(
                 opt_state, self._opt_shardings
+            )
+        if self._param_shardings is not None:
+            # tensor parallelism: params stay column-sharded across steps
+            params = jax.lax.with_sharding_constraint(
+                params, self._param_shardings
             )
         metrics = dict(metrics, skipped=1.0 - scale, grad_ok=scale)
         new_state = TrainState(
@@ -240,6 +327,46 @@ class Trainer:
         out = {k: float(np.mean(v)) for k, v in jax.device_get(metrics).items()}
         out["n_steps"] = int(batches.shape[0])
         return state, out
+
+    def _val_scan_impl(self, params, dds, idx_batches, rng):
+        """Whole validation epoch as one XLA program (same shape as
+        _epoch_scan_impl minus the optimizer): on the tunneled backend a
+        per-step host dispatch costs ~1 ms, so 50 val steps/epoch were a
+        measurable tax (round-2 verdict)."""
+        from coarsegrainingvae_tpu.parallel.mesh import batch_sharding
+
+        multi = self.mesh.devices.size > 1
+        sharding = batch_sharding(self.mesh) if multi else None
+
+        def step(_, inp):
+            i, idx = inp
+            batch = dds.gather(idx)
+            if sharding is not None:
+                batch = jax.lax.with_sharding_constraint(batch, sharding)
+            metrics = self._eval_step_impl(
+                params, batch, jax.random.fold_in(rng, i)
+            )
+            return None, metrics
+
+        steps = jnp.arange(idx_batches.shape[0])
+        _, metrics = jax.lax.scan(step, None, (steps, idx_batches))
+        return metrics
+
+    def run_epoch_scan_eval(
+        self, params, dds, rng: jax.Array
+    ) -> Dict[str, float]:
+        """Evaluate one epoch with the scan path (device-resident data)."""
+        from coarsegrainingvae_tpu.data.device import epoch_index_batches
+
+        if not hasattr(self, "_val_scan"):
+            self._val_scan = jax.jit(self._val_scan_impl)
+        batches = jnp.asarray(
+            epoch_index_batches(dds.n_frames, self.cfg.data.batch_size, None)
+        )
+        metrics = self._val_scan(params, dds, batches, rng)
+        out = {k: float(np.mean(v)) for k, v in jax.device_get(metrics).items()}
+        out["n_steps"] = int(batches.shape[0])
+        return out
 
     def run_epoch_device(
         self,
@@ -394,9 +521,9 @@ class Trainer:
             # multi-device mesh the scan step constrains the gathered batch
             # to the ('data',) sharding (see _epoch_scan_impl); the batch
             # size must divide the mesh for that split to be even.
+            data_par = self.mesh.shape.get("data", self.mesh.devices.size)
             mesh_ok = (
-                self.mesh.devices.size == 1
-                or self.cfg.data.batch_size % self.mesh.devices.size == 0
+                data_par == 1 or self.cfg.data.batch_size % data_par == 0
             )
             if getattr(trainset, "aux_bonds", None) is None and mesh_ok:
                 dds_train = DeviceDataset.from_dataset(trainset)
@@ -418,9 +545,8 @@ class Trainer:
                 state, train_m = self.run_epoch_scan(
                     state, dds_train, epoch_rng, shuffle_rng=shuffle_rng,
                 )
-                _, val_m = self.run_epoch_device(
-                    state, dds_val, jax.random.fold_in(epoch_rng, 999),
-                    train=False,
+                val_m = self.run_epoch_scan_eval(
+                    state.params, dds_val, jax.random.fold_in(epoch_rng, 999),
                 )
             else:
                 state, train_m = self.run_epoch(

@@ -151,7 +151,7 @@ def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
             frames=frames, mapshuffle=cfg.data.mapshuffle,
             site_index=(None if cfg.data.site_index is None
                         else np.asarray(cfg.data.site_index, np.int64)),
-            seed=seed + attempt,
+            seed=seed + attempt, z=z,
         )
         if np.unique(mapping).size == cfg.model.n_cgs:
             return mapping
@@ -168,6 +168,27 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
 
     z, frames, bonds = load_frames(cfg.data.dataset, cfg.data.ndata,
                                    seed=cfg.data.seed)
+
+    if cfg.data.cg_method in ("minimal", "alpha") and cfg.data.site_index is None:
+        # reference semantics (datasets.py:262-272): sites come from the
+        # topology and the user n_cgs is overwritten by the site count
+        from coarsegrainingvae_tpu.data.mappings import derive_site_index
+
+        sites = derive_site_index(cfg.data.cg_method, z=z, bonds=bonds)
+        if len(sites) != cfg.model.n_cgs:
+            print(f"cg_method={cfg.data.cg_method}: topology yields "
+                  f"{len(sites)} sites; overwriting n_cgs="
+                  f"{cfg.model.n_cgs} (reference datasets.py:262-264)")
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            model=_dc.replace(cfg.model, n_cgs=len(sites)),
+            data=_dc.replace(cfg.data,
+                             site_index=tuple(int(s) for s in sites)),
+        )
+        cfg.save(os.path.join(cfg.logdir, "modelparams.json"))
+
     folds = kfold_indices(frames.shape[0], cfg.data.nsplits, cfg.data.seed)
     cv_logger = CSVLogger(os.path.join(cfg.logdir, "cv_stats.csv"),
                           CV_STAT_FIELDS)

@@ -211,6 +211,106 @@ def spectral_mapping(bonds: np.ndarray, n_atoms: int, n_cgs: int, seed: int = 0)
     return out
 
 
+_MINIMAL_NAMES = {"N", "CA", "C", "O", "CB"}
+
+
+def _heavy_backbone_path(z: np.ndarray, bonds: np.ndarray) -> list:
+    """Longest heavy-atom path through the bond graph (double BFS: exact on
+    trees, diameter path otherwise) -- the graph analogue of the protein
+    backbone for topologies that carry no atom names."""
+    z = np.asarray(z)
+    heavy = np.nonzero(z > 1)[0]
+    hset = set(int(i) for i in heavy)
+    adj: dict = {int(i): [] for i in heavy}
+    for a, b in np.asarray(bonds):
+        a, b = int(a), int(b)
+        if a in hset and b in hset:
+            adj[a].append(b)
+            adj[b].append(a)
+
+    def bfs(s):
+        parent = {s: -1}
+        order = [s]
+        head = 0
+        while head < len(order):
+            u = order[head]
+            head += 1
+            for v in adj[u]:
+                if v not in parent:
+                    parent[v] = u
+                    order.append(v)
+        return order[-1], parent
+
+    if not heavy.size:
+        raise ValueError("no heavy atoms in topology")
+    u, _ = bfs(int(heavy[0]))
+    v, parent = bfs(u)
+    path = [v]
+    while parent[path[-1]] != -1:
+        path.append(parent[path[-1]])
+    return path[::-1]
+
+
+def derive_site_index(
+    method: str,
+    z: Optional[np.ndarray] = None,
+    bonds: Optional[np.ndarray] = None,
+    atom_names: Optional[list] = None,
+) -> np.ndarray:
+    """Topology-derived CG site atoms for the 'minimal'/'alpha' protocols.
+
+    The reference gets these from mdtraj selections on the trajectory
+    topology (traj.top.select_atom_indices(cg_method),
+    /root/reference/CoarseGrainingVAE/datasets.py:262-272): 'alpha' is the
+    C-alpha of every residue, 'minimal' the heavy backbone markers
+    {N, CA, C, O, CB}. Two derivations, no MD library required:
+
+    * atom_names given (PDB-parsed / SidechainNet data, utils/pdb.py +
+      data/sidechain.py carry per-atom names): the exact same selections.
+    * z + bonds only (synthetic ensembles, npz caches): the backbone is the
+      longest heavy-atom path of the bond graph; 'alpha' picks one site per
+      3 backbone atoms (the N-CA-C period of a peptide backbone, preferring
+      carbons within each triplet) and 'minimal' takes the backbone plus
+      its first-shell heavy substituents (the CB/carbonyl-O analogues).
+    """
+    if atom_names is not None:
+        names = [str(nm) for nm in atom_names]
+        if method == "alpha":
+            sites = [i for i, nm in enumerate(names) if nm == "CA"]
+        else:
+            sites = [i for i, nm in enumerate(names) if nm in _MINIMAL_NAMES]
+        if not sites:
+            raise ValueError(
+                f"no {method!r} site atoms found in atom_names"
+            )
+        return np.asarray(sites, np.int64)
+
+    if z is None or bonds is None:
+        raise ValueError(
+            f"derive_site_index({method!r}) needs atom_names or (z, bonds)"
+        )
+    z = np.asarray(z)
+    path = _heavy_backbone_path(z, bonds)
+    if method == "alpha":
+        sites = []
+        for k in range(0, len(path), 3):
+            triplet = path[k : k + 3]
+            carbons = [i for i in triplet if z[i] == 6]
+            mid = triplet[min(1, len(triplet) - 1)]
+            sites.append(carbons[0] if carbons and z[mid] != 6 else mid)
+        return np.asarray(sites, np.int64)
+    # minimal: backbone + first-shell heavy substituents
+    on_path = set(path)
+    first_shell = set()
+    for a, b in np.asarray(bonds):
+        a, b = int(a), int(b)
+        if a in on_path and b not in on_path and z[b] > 1:
+            first_shell.add(b)
+        if b in on_path and a not in on_path and z[a] > 1:
+            first_shell.add(a)
+    return np.asarray(sorted(on_path | first_shell), np.int64)
+
+
 def nearest_site_mapping(
     frames: np.ndarray, site_idx: np.ndarray
 ) -> np.ndarray:
@@ -241,6 +341,8 @@ def get_mapping(
     site_index: Optional[np.ndarray] = None,
     mapshuffle: float = 0.0,
     seed: int = 0,
+    z: Optional[np.ndarray] = None,
+    atom_names: Optional[list] = None,
 ) -> np.ndarray:
     """Dispatch mirroring get_cg_and_xyz (datasets.py:252-342). The 'cgae'
     method lives in train/cgae_train.py (it trains a model)."""
@@ -263,21 +365,27 @@ def get_mapping(
         # both arrive as site_index so no MD library is required
         assert frames is not None
         if site_index is None:
-            # evenly spaced atom-INDEX fallback -- NOT the reference protocol
-            # (mdtraj selections of backbone markers / C-alphas,
-            # datasets.py:252-312). Loud by design: results from this path
-            # are not comparable to the reference's minimal/alpha runs.
-            import warnings
+            if atom_names is not None or (z is not None and bonds is not None):
+                # reference protocol: sites come from the topology itself,
+                # and the user-specified n_cgs is OVERWRITTEN by the site
+                # count (datasets.py:262-264 prints exactly that note)
+                site_index = derive_site_index(
+                    method, z=z, bonds=bonds, atom_names=atom_names
+                )
+            else:
+                # evenly spaced atom-INDEX fallback -- NOT the reference
+                # protocol. Loud by design: results from this path are not
+                # comparable to the reference's minimal/alpha runs.
+                import warnings
 
-            warnings.warn(
-                f"mapping method {method!r} got no site_index; falling back "
-                "to evenly-spaced atom indices, which is NOT the reference "
-                "protocol. Pass site_index (e.g. C-alpha atom indices) for "
-                "faithful minimal/alpha mappings.",
-                stacklevel=2,
-            )
-            site_index = np.linspace(0, n_atoms - 1, n_cgs).astype(np.int64)
-        assert len(site_index) == n_cgs, "need one site atom per bead"
+                warnings.warn(
+                    f"mapping method {method!r} got neither site_index nor "
+                    "topology (z+bonds / atom_names); falling back to "
+                    "evenly-spaced atom indices, which is NOT the reference "
+                    "protocol.",
+                    stacklevel=2,
+                )
+                site_index = np.linspace(0, n_atoms - 1, n_cgs).astype(np.int64)
         return nearest_site_mapping(frames, np.asarray(site_index))
     if method == "cgae":
         # learned mapping autoencoder (cgae.py + datasets.py:190-249); retry

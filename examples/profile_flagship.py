@@ -59,6 +59,8 @@ def main() -> None:
                    help="message_impl for the dense flagship (einsum|qmat)")
     p.add_argument("--pseudo-impl", dest="pseudo_impl", default="stacked",
                    help="pseudo_impl for the decoder (einsum|stacked)")
+    p.add_argument("--adam_dtype", default="float32",
+                   help="Adam moment storage dtype (float32|bfloat16)")
     args = p.parse_args()
     which = set(args.only.split(",")) if args.only else {"step", "parts", "modules"}
 
@@ -98,7 +100,8 @@ def main() -> None:
             pseudo_impl=args.pseudo_impl,
         ),
         data=DataConfig(batch_size=batch_size),
-        train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01),
+        train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01,
+                          adam_moment_dtype=args.adam_dtype),
     )
     z, frames, bonds = synthetic_peptide(
         args.config, n_frames=max(64, 2 * batch_size), seed=0)

@@ -74,3 +74,29 @@ def test_hpo_random_search(tmp_path):
     assert sum(r["failed"] for r in rows) == 1
     assert best is not None and np.isfinite(val)
     assert os.path.exists(tmp_path / "hpo.csv")
+
+
+def test_run_cgvae_cli_alpha_mapping_no_site_index(tmp_path):
+    """-cg_method alpha with NO -site_index: sites derive from topology and
+    n_cgs is overwritten by the site count (reference datasets.py:262-272)."""
+    import json
+
+    from coarsegrainingvae_tpu.cli.run_cgvae import main
+
+    rows = main([
+        "-logdir", str(tmp_path / "run"), "-dataset", "dipeptide",
+        "-n_cgs", "3", "-n_basis", "16", "-n_rbf", "4",
+        "-enc_nconv", "1", "-dec_nconv", "1", "-ndata", "32",
+        "-nepochs", "1", "-batch_size", "16", "-nsplits", "2",
+        "-beta", "0.01", "-gamma", "1.0", "-n_ensemble", "2",
+        "-nevals", "2", "--dec_type", "painn", "-cg_method", "alpha",
+    ])
+    assert len(rows) == 2
+    run_dir = [p for p in tmp_path.iterdir() if p.name.startswith("run")][0]
+    saved = json.load(open(run_dir / "modelparams.json"))
+    # sites were derived and persisted; n_cgs matches the site count
+    assert saved["data"]["site_index"] is not None
+    assert saved["model"]["n_cgs"] == len(saved["data"]["site_index"])
+    mapping = json.load(open(run_dir / "fold0" / "mapping.json"))
+    assert max(mapping) + 1 == saved["model"]["n_cgs"]
+    assert np.isfinite(rows[0]["test_all_recon_rmsd"])

@@ -177,3 +177,63 @@ def test_cli_site_index_parsing(tmp_path):
     p = str(tmp_path / "sites.npy")
     np.save(p, np.array([3, 7], np.int64))
     assert parse_site_index(p) == (3, 7)
+
+
+def test_derive_site_index_from_atom_names():
+    """Name-based site derivation pins the exact mdtraj selections
+    (reference datasets.py:262-272): alpha = CA, minimal = {N,CA,C,O,CB}."""
+    from coarsegrainingvae_tpu.data.mappings import derive_site_index
+
+    names = ["N", "CA", "C", "O", "CB",          # residue 1 (ALA-like)
+             "N", "CA", "C", "O", "CB", "CG"]    # residue 2
+    alpha = derive_site_index("alpha", atom_names=names)
+    np.testing.assert_array_equal(alpha, [1, 6])
+    minimal = derive_site_index("minimal", atom_names=names)
+    np.testing.assert_array_equal(minimal, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+
+
+def test_derive_site_index_from_topology():
+    """Graph-based derivation on a known hand-built topology: backbone =
+    longest heavy path; alpha picks one site per 3 backbone atoms."""
+    from coarsegrainingvae_tpu.data.mappings import derive_site_index
+
+    # chain of 6 heavy atoms (C C N C C O) + one heavy branch at atom 2
+    # + hydrogens (ignored)
+    z = np.array([6, 6, 7, 6, 6, 8, 6, 1, 1], np.int32)
+    bonds = np.array(
+        [[0, 1], [1, 2], [2, 3], [3, 4], [4, 5],  # backbone
+         [2, 6],                                    # heavy branch (CB-like)
+         [0, 7], [6, 8]],                           # hydrogens
+        np.int32,
+    )
+    alpha = derive_site_index("alpha", z=z, bonds=bonds)
+    # backbone path is 0..5; triplets (0,1,2) and (3,4,5) -> middles 1, 4
+    np.testing.assert_array_equal(sorted(alpha), [1, 4])
+    minimal = derive_site_index("minimal", z=z, bonds=bonds)
+    # backbone 0-5 plus the heavy branch atom 6; hydrogens excluded
+    np.testing.assert_array_equal(minimal, [0, 1, 2, 3, 4, 5, 6])
+
+
+def test_alpha_mapping_without_site_index_uses_topology():
+    """get_mapping('alpha') with z+bonds and no site_index derives sites
+    from topology (no fallback warning) and returns a site-consistent
+    mapping."""
+    import warnings
+
+    from coarsegrainingvae_tpu.data.mappings import (
+        derive_site_index,
+        get_mapping,
+    )
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=8, seed=0)
+    sites = derive_site_index("alpha", z=z, bonds=bonds)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the fallback warns; this must not
+        mapping = get_mapping(
+            "alpha", len(sites), z.shape[0], bonds=bonds, frames=frames,
+            z=z,
+        )
+    # every site atom maps to its own bead, all beads populated
+    np.testing.assert_array_equal(mapping[sites], np.arange(len(sites)))
+    assert np.unique(mapping).size == len(sites)

@@ -173,8 +173,12 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         # reference semantics (datasets.py:262-272): sites come from the
         # topology and the user n_cgs is overwritten by the site count
         from coarsegrainingvae_tpu.data.mappings import derive_site_index
+        from coarsegrainingvae_tpu.data.proteins import load_traj_atom_names
 
-        sites = derive_site_index(cfg.data.cg_method, z=z, bonds=bonds)
+        sites = derive_site_index(
+            cfg.data.cg_method, z=z, bonds=bonds,
+            atom_names=load_traj_atom_names(cfg.data.dataset),
+        )
         if len(sites) != cfg.model.n_cgs:
             print(f"cg_method={cfg.data.cg_method}: topology yields "
                   f"{len(sites)} sites; overwriting n_cgs="

@@ -100,3 +100,61 @@ def test_run_cgvae_cli_alpha_mapping_no_site_index(tmp_path):
     mapping = json.load(open(run_dir / "fold0" / "mapping.json"))
     assert max(mapping) + 1 == saved["model"]["n_cgs"]
     assert np.isfinite(rows[0]["test_all_recon_rmsd"])
+
+
+def test_real_data_chain_pdb_to_npz_to_run_cv(tmp_path, monkeypatch):
+    """The full real-data ingestion chain with zero MD libraries:
+    write per-frame PDBs (utils.pdb.write_pdb) -> generate_cache -kind
+    pdbtraj -> trajectory npz in the data root -> load_frames -> run_cv
+    with the topology-derived alpha mapping. This is exactly what a user
+    with a real MD trajectory does (dump frames to PDB anywhere, convert,
+    train) -- reference chain datasets.py:170-187 + 252-342."""
+    import json
+
+    from coarsegrainingvae_tpu.cli.generate_cache import main as cache_main
+    from coarsegrainingvae_tpu.cli.run_cgvae import main as run_main
+    from coarsegrainingvae_tpu.data.sidechain import protein_props
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+    from coarsegrainingvae_tpu.utils.pdb import write_pdb
+
+    # an "MD trajectory": one topology, 36 jittered/rotated frames
+    seq, crd = synthetic_protein(5, seed=11)
+    props = protein_props(seq, np.asarray(crd))
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for s in range(36):
+        # small conformational jitter + rigid rotation
+        q = rng.normal(size=(3, 3))
+        qr, _ = np.linalg.qr(q)
+        xyz = (props.xyz + 0.05 * rng.normal(size=props.xyz.shape)) @ qr.T
+        write_pdb(str(frames_dir / f"frame_{s:04d}.pdb"), seq, xyz,
+                  props.mapping, props.channel_idx)
+
+    data_root = tmp_path / "dataroot"
+    data_root.mkdir()
+    monkeypatch.setenv("COARSEGRAININGVAE_DATA", str(data_root))
+    cache_main(["-kind", "pdbtraj", "-src", str(frames_dir),
+                "-out", str(data_root / "mytraj.npz")])
+
+    # atom names survived the npz round trip (exact CA site selection)
+    from coarsegrainingvae_tpu.data.proteins import load_traj_atom_names
+    names = load_traj_atom_names("mytraj")
+    assert names is not None and names.count("CA") == len(seq)
+
+    rows = run_main([
+        "-logdir", str(tmp_path / "run"), "-dataset", "mytraj",
+        "-n_cgs", "3", "-n_basis", "16", "-n_rbf", "4",
+        "-enc_nconv", "1", "-dec_nconv", "1", "-ndata", "36",
+        "-nepochs", "1", "-batch_size", "12", "-nsplits", "2",
+        "-beta", "0.01", "-gamma", "1.0", "-n_ensemble", "2",
+        "-nevals", "2", "--dec_type", "painn", "-cg_method", "alpha",
+    ])
+    assert len(rows) == 2
+    run_dir = [p for p in tmp_path.iterdir() if p.name.startswith("run")][0]
+    saved = json.load(open(run_dir / "modelparams.json"))
+    # alpha -> one bead per residue, sites are the CA atoms by NAME
+    assert saved["model"]["n_cgs"] == len(seq)
+    ca_idx = [i for i, nm in enumerate(names) if nm == "CA"]
+    assert list(saved["data"]["site_index"]) == ca_idx
+    assert np.isfinite(rows[0]["test_all_recon_rmsd"])

@@ -48,9 +48,11 @@ class ModelConfig:
     # examples/accuracy_ab.py).
     compute_dtype: str = "bfloat16"
     # factored-message aggregation implementation (dense regime):
-    # "einsum" (per-channel per-basis contractions) or "qmat" (all channels
+    # "einsum" (per-channel per-basis contractions), "qmat" (all channels
     # merged into one flattened-(sender, basis) batched matmul; same math,
-    # pinned by tests/test_factored_message.py::test_qmat_matches_einsum)
+    # pinned by tests/test_factored_message.py::test_qmat_matches_einsum),
+    # or "pallas" (whole pair pipeline as one fused TPU kernel with a
+    # hand-derived Pallas backward, ops/pallas_message.py; same params)
     message_impl: str = "einsum"
     # pseudo (chirality) message combination: "pallas" (fully fused Pallas
     # TPU kernel with hand-derived Pallas backward, ops/pallas_pseudo.py;

@@ -382,6 +382,14 @@ class DenseFactoredEquiMessage(nn.Module):
         the receiver side). Same math, same params; contraction dim grows
         from N to N*(R+1) and the (B, N, R+1, 3, F) intermediates vanish --
         two MXU-friendly matmuls instead of eight thin ones.
+      "pallas" -- the whole pair pipeline (geometry, RBF, envelope,
+        adjacency, per-basis contractions) as ONE fused Pallas TPU kernel
+        with a hand-derived Pallas backward (ops/pallas_message.py).
+        Requires xyz/node_mask args and IGNORES dist/unit/adj, recomputing
+        them in VMEM with the same eps/cutoff/mask recipe -- callers must
+        pass the plain radius adjacency of (xyz, node_mask, self.cutoff)
+        (DenseCGVAE does, at every call site). Same params as
+        einsum/qmat; parity pinned by tests/test_pallas_message.py.
     """
 
     feat_dim: int
@@ -400,6 +408,7 @@ class DenseFactoredEquiMessage(nn.Module):
         dist: Array,   # (B, N, N)
         unit: Array,   # (B, N, N, 3)
         adj: Array,    # (B, N, N)
+        xyz: Array = None, node_mask: Array = None,
     ) -> Tuple[Array, Array]:
         from coarsegrainingvae_tpu.ops.basis import cosine_envelope, painn_radial_basis
 
@@ -422,6 +431,20 @@ class DenseFactoredEquiMessage(nn.Module):
             )
 
         w = self.param("filter_w", _filter_init, (r_aug, n_split, f), self.dtype)
+
+        if self.impl == "pallas":
+            from coarsegrainingvae_tpu.ops.pallas_message import fused_message
+
+            assert xyz is not None and node_mask is not None, (
+                "message_impl='pallas' needs node coordinates and mask"
+            )
+            interpret = jax.devices()[0].platform != "tpu"
+            return fused_message(
+                xyz.astype(jnp.float32), node_mask.astype(jnp.float32),
+                phi.astype(jnp.float32), v.astype(jnp.float32),
+                w.astype(jnp.float32), self.cutoff, self.n_rbf,
+                8, interpret,
+            )
 
         rbf = painn_radial_basis(dist, self.n_rbf, self.cutoff)      # (B,N,N,R)
         rbf = jnp.concatenate([rbf, jnp.ones_like(rbf[..., :1])], -1)

@@ -271,7 +271,7 @@ class DenseCGVAE(nn.Module):
             ds, dv = DenseFactoredEquiMessage(
                 feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
                 cutoff=c.cg_cutoff, dtype=dtype, impl=c.message_impl,
-            )(h, v, dist, unit, adj)
+            )(h, v, dist, unit, adj, xyz=xyz, node_mask=batch.atom_mask)
             h = h + ds
             v = v + dv
             if i == 0:
@@ -293,7 +293,8 @@ class DenseCGVAE(nn.Module):
             dH, dV = DenseFactoredEquiMessage(
                 feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
                 cutoff=c.cg_cutoff, dtype=dtype, impl=c.message_impl,
-            )(Hp, Vp, cg_dist, cg_unit, cg_adj)
+            )(Hp, Vp, cg_dist, cg_unit, cg_adj,
+              xyz=cg_xyz, node_mask=batch.cg_mask)
             Hp = Hp + dH
             Vp = Vp + dV
         prior_mu = MLP([f, f], activation="Tanh", dtype=dtype)(Hp)
@@ -342,7 +343,8 @@ class DenseCGVAE(nn.Module):
                     feat_dim=f, activation=c.activation, n_rbf=c.n_rbf,
                     cutoff=c.atom_cutoff, cross=cross, dtype=dtype,
                     impl=c.message_impl,
-                )(S, Vd, cg_dist, cg_unit, dec_adj)
+                )(S, Vd, cg_dist, cg_unit, dec_adj,
+                  xyz=cg_xyz, node_mask=batch.cg_mask)
                 S, Vd = S + dS, Vd + dV
                 dS, dV = DenseUpdateBlock(
                     feat_dim=f, activation=c.activation, dtype=dtype

@@ -19,21 +19,37 @@ registers/VMEM, and accumulates the four message terms with
             + fold_r K_r (phi_a * v_d)               (sender-vector channel)
             + v_i x fold_r K_r (phi_3 * v_d)         (cross channel)
 
-Backward: jax.custom_vjp whose bwd is the VJP of the pure-jnp reference
-implementation (`message_reference`) -- exact gradients with zero
-hand-derived adjoint risk; the Pallas speedup applies to the forward.
+Backward: a second hand-derived Pallas kernel of the same structure
+(round-3; the DESIGN roadmap's "per-basis-matmul backward"). The key
+identity is that the pair filter K = adj*env*rbf is SYMMETRIC in (i, j)
+(it depends only on the distance and the two masks) while the unit vector
+is antisymmetric, so one row-geometry build per node tile serves both the
+receiver-side recompute and every sender-side cotangent contraction -- the
+adjoints reuse the forward's contract/fold helpers verbatim:
+
+    d_phi1 = fold(contract(g_ds), w1)           d_w1 = sum_j G1 . phi1
+    d_phi2 = fold(-contract_u(g_dv_d), w2)      (antisymmetric unit)
+    A0_d   = fold(contract(g_dv_d), w0)  ->  d_phi0 = sum_d v_d A0_d,
+                                             d_v_d += phi0 A0_d
+    cross: Gamma3 = g_dv x v_i per node; same machinery with Gamma3 for
+    the sender side, plus the receiver-side d_v += w3_agg x g_dv with
+    w3_agg recomputed exactly as in the forward.
+
+GRADIENT CONTRACT: the geometry inputs (xyz, mask) receive ZERO cotangent
+-- in every CGVAE model the message graphs are built from batch
+coordinates, which are data, never functions of params. Do NOT use this
+kernel where coordinates require gradients (e.g. force fields); the
+pure-jnp `message_reference` differentiates fully.
 
 Semantics match DenseFactoredEquiMessage exactly (same W layout, same
-sqrt(d^2 + EPS) distance, same cutoff adjacency); a parity test pins them
-together.
+sqrt(d^2 + EPS) distance, same cutoff adjacency); parity tests pin values
+AND all input gradients against the jnp reference.
 
 Status (measured on one v5e chip, f32, 20-call mean incl. result transfer):
   B=32 N=32  F=600: pallas 5.98 ms vs XLA 6.30 ms  (max |err| ~6e-4)
   B=8  N=176 F=600: pallas 9.97 ms vs XLA 6.43 ms
-Forward-only parity/modest win at the flagship shape; the backward runs the
-reference VJP (recompute), so training throughput does not yet benefit --
-the kernel is therefore OPT-IN (inference/sampling paths, and a base for
-further Mosaic tuning), not wired into DenseCGVAE by default.
+Opt-in (`message_impl="pallas"` wiring is config-level); DESIGN.md carries
+the kernel-vs-XLA shape table that decides defaults.
 """
 from __future__ import annotations
 
@@ -183,6 +199,196 @@ def _fused_kernel(
     dv_ref[0] = jnp.stack(dv, axis=1)                 # (TI, 3, F)
 
 
+def _bwd_kernel(
+    xyz_ref, xyz_t_ref, mask_ref, mask_t_ref, phi_ref, phi_t_ref,
+    v_ref, v_t_ref, w_ref, gs_ref, gs_t_ref, gv_ref, gv_t_ref,
+    dphi_ref, dv_ref, dw_ref,
+    *, cutoff: float, n_rbf: int, tile_i: int, cross: bool,
+):
+    """Hand-derived VJP; one (batch element, node tile) program instance.
+
+    The tile plays BOTH roles: receiver (for the cross channel's
+    receiver-side term) and sender (for d_phi/d_v/d_w), sharing one
+    row-geometry build thanks to K's (i,j) symmetry. d_w accumulates
+    across the sequential grid."""
+    t = pl.program_id(1)
+    n = xyz_ref.shape[1]
+    f = v_ref.shape[-1]
+    s_ch = phi_ref.shape[2]
+    r_aug = n_rbf + 1
+
+    xyz = xyz_ref[0]
+    m = mask_ref[0, :, 0].astype(jnp.float32)
+    xt = xyz_t_ref[0]
+    mt = mask_t_ref[0, :, 0].astype(jnp.float32)
+
+    d_vec = xyz[None, :, :] - xt[:, None, :]          # (TI, N, 3)
+    dist = jnp.sqrt(jnp.sum(d_vec**2, axis=-1) + EPS)
+    unit = d_vec / dist[..., None]                    # u[t, i] = (x_i - x_t)/d
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_i, n), 0) + t * tile_i
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_i, n), 1)
+    adj = (dist < cutoff).astype(jnp.float32)
+    adj = adj * (row_ids != col_ids).astype(jnp.float32)
+    adj = adj * mt[:, None] * m[None, :]
+
+    rbf = painn_radial_basis(dist, n_rbf, cutoff)
+    rbf = jnp.concatenate([rbf, jnp.ones_like(rbf[..., :1])], -1)
+    env = cosine_envelope(dist, cutoff)
+    k = adj[..., None] * env[..., None] * rbf         # (TI, N, R+1)
+
+    w = w_ref[:]                                      # (R+1, S, F)
+    phi = phi_ref[0]                                  # (N, S, F) all nodes
+    v = v_ref[0]                                      # (N, 3, F)
+    gs = gs_ref[0]                                    # (N, F) upstream
+    gv = gv_ref[0]                                    # (N, 3, F)
+    phi_t = phi_t_ref[0]                              # (TI, S, F) tile
+    v_t = v_t_ref[0]                                  # (TI, 3, F)
+    gv_t = gv_t_ref[0]                                # (TI, 3, F)
+
+    k_mat = k.transpose(0, 2, 1).reshape(tile_i * r_aug, n)
+
+    def contract(x):                                  # (N, F) -> (TI, R+1, F)
+        out = jnp.dot(k_mat, x, preferred_element_type=jnp.float32)
+        return out.reshape(tile_i, r_aug, f)
+
+    def fold(g, ws):                                  # (TI,R+1,F),(R+1,F)->(TI,F)
+        return jnp.sum(g * ws[None], axis=1)
+
+    # receiver-index cotangent of the cross channel at every node:
+    # dv_i += v_i x w3_i  =>  d_w3_i = gv_i x v_i  (b_bar = c_bar x a)
+    if cross:
+        gam3 = _cross_df(gv, v)                       # (N, 3, F)
+        gam3_t = _cross_df(gv_t, v_t)                 # tile view for d_w
+
+    # ---- per-basis contractions of the upstream cotangents (tile = sender)
+    g1 = contract(gs)                                 # scalar channel
+    dphi1 = fold(g1, w[:, 1])
+
+    dphi2 = jnp.zeros((tile_i, f), jnp.float32)
+    a0 = []                                           # fold(contract(gv_d), w0)
+    a3 = []
+    g2_acc = jnp.zeros((tile_i, r_aug, f), jnp.float32)
+    g0_acc = jnp.zeros((tile_i, r_aug, f), jnp.float32)
+    g3_acc = jnp.zeros((tile_i, r_aug, f), jnp.float32)
+    for d in range(3):
+        gv_d = gv[:, d, :]
+        # unit channel: u_{i<-j} = -u_rows  (antisymmetric)
+        kd = (k * (-unit[..., d][..., None])).transpose(0, 2, 1).reshape(
+            tile_i * r_aug, n
+        )
+        g2_d = jnp.dot(kd, gv_d, preferred_element_type=jnp.float32).reshape(
+            tile_i, r_aug, f
+        )
+        g2_acc = g2_acc + g2_d
+        dphi2 = dphi2 + fold(g2_d, w[:, 2])
+        g0_d = contract(gv_d)
+        g0_acc = g0_acc + g0_d * v_t[:, d, None, :]   # for d_w0
+        a0.append(fold(g0_d, w[:, 0]))
+        if cross:
+            g3_d = contract(gam3[:, d, :])
+            g3_acc = g3_acc + g3_d * v_t[:, d, None, :]
+            a3.append(fold(g3_d, w[:, 3]))
+
+    # d_phi (tile as sender)
+    dphi0 = sum(v_t[:, d, :] * a0[d] for d in range(3))
+    parts = [dphi0, dphi1, dphi2]
+    if cross:
+        parts.append(sum(v_t[:, d, :] * a3[d] for d in range(3)))
+    dphi_ref[0] = jnp.stack(parts, axis=1)            # (TI, S, F)
+
+    # d_v: sender side (ch0 [+ch3]) + receiver side of the cross
+    dv = []
+    if cross:
+        # forward w3 aggregate at the tile's nodes as receivers
+        w3_agg = [fold(contract(phi[:, 3] * v[:, d]), w[:, 3])
+                  for d in range(3)]
+    for d in range(3):
+        val = phi_t[:, 0, :] * a0[d]
+        if cross:
+            val = val + phi_t[:, 3, :] * a3[d]
+        dv.append(val)
+    if cross:
+        # a_bar = b x c_bar  with a = v_i, b = w3_agg, c_bar = gv
+        gvt_d = [gv_t[:, d, :] for d in range(3)]
+        dv[0] = dv[0] + w3_agg[1] * gvt_d[2] - w3_agg[2] * gvt_d[1]
+        dv[1] = dv[1] + w3_agg[2] * gvt_d[0] - w3_agg[0] * gvt_d[2]
+        dv[2] = dv[2] + w3_agg[0] * gvt_d[1] - w3_agg[1] * gvt_d[0]
+    dv_ref[0] = jnp.stack(dv, axis=1)                 # (TI, 3, F)
+
+    # ---- d_w[r, ch, f] = sum_j G_ch[j, r, f] * payload_ch[j, f]
+    dw1 = jnp.sum(g1 * phi_t[:, 1, None, :], axis=0)         # (R+1, F)
+    dw2 = jnp.sum(g2_acc * phi_t[:, 2, None, :], axis=0)
+    dw0 = jnp.sum(g0_acc * phi_t[:, 0, None, :], axis=0)
+    dw_parts = [dw0, dw1, dw2]
+    if cross:
+        dw_parts.append(jnp.sum(g3_acc * phi_t[:, 3, None, :], axis=0))
+    dw = jnp.stack(dw_parts, axis=1)                  # (R+1, S, F)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = dw
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw_ref[...] = dw_ref[...] + dw
+
+
+def _bwd_call(xyz, mask, phi, v, w, gs, gv, cutoff, n_rbf, tile_i, interpret):
+    b, n, s, f = phi.shape
+    cross = s == 4
+    mask = mask.astype(jnp.float32)
+    n_pad = _round_up(n, tile_i)
+    if n_pad != n:
+        pad = n_pad - n
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        phi = jnp.pad(phi, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        gs = jnp.pad(gs, ((0, 0), (0, pad), (0, 0)))
+        gv = jnp.pad(gv, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _bwd_kernel, cutoff=cutoff, n_rbf=n_rbf, tile_i=tile_i, cross=cross
+    )
+    grid = (b, n_pad // tile_i)
+    r_aug = n_rbf + 1
+    d_phi, d_v, d_w = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), lambda b_, t: (b_, 0, 0)),
+            pl.BlockSpec((1, tile_i, 3), lambda b_, t: (b_, t, 0)),
+            pl.BlockSpec((1, n_pad, 1), lambda b_, t: (b_, 0, 0)),
+            pl.BlockSpec((1, tile_i, 1), lambda b_, t: (b_, t, 0)),
+            pl.BlockSpec((1, n_pad, s, f), lambda b_, t: (b_, 0, 0, 0)),
+            pl.BlockSpec((1, tile_i, s, f), lambda b_, t: (b_, t, 0, 0)),
+            pl.BlockSpec((1, n_pad, 3, f), lambda b_, t: (b_, 0, 0, 0)),
+            pl.BlockSpec((1, tile_i, 3, f), lambda b_, t: (b_, t, 0, 0)),
+            pl.BlockSpec((n_rbf + 1, s, f), lambda b_, t: (0, 0, 0)),
+            pl.BlockSpec((1, n_pad, f), lambda b_, t: (b_, 0, 0)),
+            pl.BlockSpec((1, tile_i, f), lambda b_, t: (b_, t, 0)),
+            pl.BlockSpec((1, n_pad, 3, f), lambda b_, t: (b_, 0, 0, 0)),
+            pl.BlockSpec((1, tile_i, 3, f), lambda b_, t: (b_, t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_i, s, f), lambda b_, t: (b_, t, 0, 0)),
+            pl.BlockSpec((1, tile_i, 3, f), lambda b_, t: (b_, t, 0, 0)),
+            pl.BlockSpec((n_rbf + 1, s, f), lambda b_, t: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, s, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 3, f), jnp.float32),
+            jax.ShapeDtypeStruct((r_aug, s, f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xyz, xyz, mask[..., None], mask[..., None], phi, phi, v, v, w,
+      gs, gs, gv, gv)
+    return d_phi[:, :n], d_v[:, :n], d_w
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -250,14 +456,12 @@ def _fused_fwd(xyz, mask, phi, v, w, cutoff, n_rbf, tile_i, interpret):
 
 def _fused_bwd(cutoff, n_rbf, tile_i, interpret, res, g):
     xyz, mask, phi, v, w = res
-    _, vjp = jax.vjp(
-        lambda xyz_, phi_, v_, w_: message_reference(
-            xyz_, mask, phi_, v_, w_, cutoff, n_rbf
-        ),
-        xyz, phi, v, w,
+    gs, gv = g
+    d_phi, d_v, d_w = _bwd_call(
+        xyz, mask, phi, v, w, gs, gv, cutoff, n_rbf, tile_i, interpret
     )
-    d_xyz, d_phi, d_v, d_w = vjp(g)
-    return d_xyz, None, d_phi, d_v, d_w
+    # geometry receives zero cotangent by contract (module docstring)
+    return jnp.zeros_like(xyz), None, d_phi, d_v, d_w
 
 
 fused_message.defvjp(_fused_fwd, _fused_bwd)

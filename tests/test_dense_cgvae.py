@@ -118,3 +118,40 @@ def test_dense_rejects_sparse_only_dec_types(data):
     with _pytest.raises(ValueError, match="pseudo2"):
         model.init({"params": jax.random.PRNGKey(0),
                     "sample": jax.random.PRNGKey(1)}, batch)
+
+
+def test_message_impl_pallas_matches_einsum(data):
+    """DenseCGVAE with message_impl='pallas' (fused kernel, hand-derived
+    backward) == 'einsum': same params, same outputs, same param grads."""
+    import dataclasses
+
+    from coarsegrainingvae_tpu.models.cgvae import flatten_batch
+    from coarsegrainingvae_tpu.train.losses import vae_loss
+
+    batch = data.batch(np.arange(4))
+    rng = jax.random.PRNGKey(0)
+    outs, grads = {}, {}
+    for impl in ("einsum", "pallas"):
+        cfg = _cfg(dec_type="cross")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, message_impl=impl)
+        )
+        model = DenseCGVAE(cfg=cfg.model)
+        params = model.init({"params": jax.random.PRNGKey(7),
+                             "sample": rng}, batch)["params"]
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch, rngs={"sample": rng})
+            return vae_loss(out, flatten_batch(batch), 0.01, 1.0)[0]
+
+        outs[impl] = model.apply({"params": params}, batch,
+                                 rngs={"sample": rng}).xyz_recon
+        grads[impl] = jax.grad(loss_fn)(params)
+
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["einsum"]),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(grads["pallas"]),
+                    jax.tree.leaves(grads["einsum"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

@@ -78,21 +78,48 @@ def test_pallas_respects_mask():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_custom_vjp_matches_reference_grad():
-    xyz, mask, phi, v, w = _inputs(n=8, f=8)
+@pytest.mark.parametrize("s", [3, 4])
+@pytest.mark.parametrize("n", [8, 11])
+def test_custom_vjp_matches_reference_grad(s, n):
+    """The hand-derived Pallas backward reproduces the reference VJP for
+    every differentiable input (phi, v, w); xyz carries the documented
+    zero-cotangent contract (coordinates are batch data in every model)."""
+    xyz, mask, phi, v, w = _inputs(n=n, f=8, s=s)
     cutoff, n_rbf = 8.0, 5
 
     def loss_pallas(xyz_, phi_, v_, w_):
         ds, dv = fused_message(xyz_, mask, phi_, v_, w_, cutoff, n_rbf,
                                tile_i=4, interpret=True)
-        return jnp.sum(ds**2) + jnp.sum(dv**2)
+        return jnp.sum(ds**2) + jnp.sum(dv * jnp.cos(dv))
 
     def loss_ref(xyz_, phi_, v_, w_):
         ds, dv = message_reference(xyz_, mask, phi_, v_, w_, cutoff, n_rbf)
-        return jnp.sum(ds**2) + jnp.sum(dv**2)
+        return jnp.sum(ds**2) + jnp.sum(dv * jnp.cos(dv))
 
     g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(xyz, phi, v, w)
-    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xyz, phi, v, w)
+    g_r = jax.grad(loss_ref, argnums=(1, 2, 3))(xyz, phi, v, w)
+    np.testing.assert_allclose(np.asarray(g_p[0]), 0.0)  # contract
+    for a, b in zip(g_p[1:], g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_grad_with_mask():
+    """Backward parity with padded (masked) nodes in play."""
+    xyz, mask, phi, v, w = _inputs(n=11, f=8, s=4)
+    mask = mask.at[:, 8:].set(0.0)
+    cutoff, n_rbf = 8.0, 5
+
+    def make_loss(fn):
+        def loss(phi_, v_, w_):
+            ds, dv = fn(xyz, mask, phi_, v_, w_, cutoff, n_rbf)
+            return jnp.sum(ds**2) + jnp.sum(dv**2)
+        return loss
+
+    pal = make_loss(lambda *a: fused_message(*a, tile_i=4, interpret=True))
+    ref = make_loss(message_reference)
+    g_p = jax.grad(pal, argnums=(0, 1, 2))(phi, v, w)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(phi, v, w)
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)

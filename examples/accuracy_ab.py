@@ -2,12 +2,19 @@
 configurations on identical data/seeds and compare held-out recon RMSD.
 
 Round-1 used this protocol (ad hoc) for the sparse-vs-dense parity table in
-DESIGN.md; round 2 adds compute_dtype (f32 vs bf16 matmuls) as the default
-comparison. Each variant: 900 train / 200 test synthetic dipeptide frames,
+DESIGN.md; round 2 added compute_dtype (f32 vs bf16 matmuls); round 3 adds
+Adam-moment dtype and batch-size/LR-scaling variants (the north-star
+levers). Each variant: 900 train / 200 test synthetic dipeptide frames,
 n_basis=128, enc 2 / dec 3, 60 epochs. Prints one JSON line per variant.
 
+Variant grammar: '+'-joined tokens, first = compute_dtype:
+  float32 | bfloat16           matmul dtype
+  +bf16adam                    Adam moments stored bfloat16
+  +b<NN>                       batch size NN, LR scaled linearly by NN/32
+
 Usage:
-  python examples/accuracy_ab.py --variants float32,bfloat16 [--epochs 60]
+  python examples/accuracy_ab.py \
+      --variants bfloat16,bfloat16+bf16adam,bfloat16+bf16adam+b64
 """
 from __future__ import annotations
 
@@ -54,15 +61,27 @@ def main() -> None:
     val_ds = ds.subset(np.arange(810, 900))
     test_ds = ds.subset(np.arange(900, 1100))
 
-    for dtype in args.variants.split(","):
+    for variant in args.variants.split(","):
+        toks = variant.split("+")
+        dtype = toks[0]
+        adam_dtype = "float32"
+        batch = 32
+        for tok in toks[1:]:
+            if tok == "bf16adam":
+                adam_dtype = "bfloat16"
+            elif tok.startswith("b") and tok[1:].isdigit():
+                batch = int(tok[1:])
+            else:
+                raise ValueError(f"unknown variant token {tok!r}")
         cfg = ExperimentConfig(
             model=ModelConfig(
                 n_cgs=3, n_basis=args.n_basis, n_rbf=8, atom_cutoff=8.5,
                 cg_cutoff=9.5, enc_nconv=2, dec_nconv=3, activation="swish",
                 dec_type="pseudo", breaksym=True, compute_dtype=dtype,
             ),
-            data=DataConfig(batch_size=32),
-            train=TrainConfig(lr=3e-4, beta=0.05, gamma=25.0, grad_clip=0.01),
+            data=DataConfig(batch_size=batch),
+            train=TrainConfig(lr=3e-4 * batch / 32, beta=0.05, gamma=25.0,
+                              grad_clip=0.01, adam_moment_dtype=adam_dtype),
         )
         trainer = Trainer(DenseCGVAE(cfg=cfg.model), cfg, mesh=make_mesh(1))
         state = trainer.init_state(train_ds.batch(np.arange(32)), seed=123)
@@ -78,7 +97,7 @@ def main() -> None:
             for i in range(len(test_ds))
         ])
         print(json.dumps({
-            "variant": dtype,
+            "variant": variant,
             "epochs_ran": len(hist),
             "final_val_recon": round(float(hist[-1]["val_recon"]), 4),
             "final_val_loss": round(float(hist[-1]["val_loss"]), 4),

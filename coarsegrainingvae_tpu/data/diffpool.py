@@ -23,12 +23,17 @@ class DiffPoolBatch:
     """Dense padded batch (a jit-able pytree): z (B, N) int32,
     xyz (B, N, 3) f32, adj (B, N, N) f32 bond adjacency, bonds (Eb, 2)
     shared edge list (high-order 'hyperedges' for the graph loss,
-    run_diffpool.py:203-206)."""
+    run_diffpool.py:203-206), angles (A, 3) / dihedrals (Q, 4) bonded
+    index tuples (the reference collects these via moleculekit,
+    datasets.py:117-128; unused by its live loss but carried for parity
+    and for angle/dihedral-aware losses)."""
 
     z: np.ndarray
     xyz: np.ndarray
     adj: np.ndarray
     bonds: np.ndarray
+    angles: Optional[np.ndarray] = None
+    dihedrals: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -39,6 +44,8 @@ class DiffPoolDatasetArrays:
     xyz: np.ndarray     # (F, N, 3) float32
     bonds: np.ndarray   # (Eb, 2) undirected bonds (graph-loss edges)
     adj: np.ndarray     # (N, N) float32 bond adjacency
+    angles: Optional[np.ndarray] = None      # (A, 3) bonded angle triplets
+    dihedrals: Optional[np.ndarray] = None   # (Q, 4) proper dihedral quads
 
     def __len__(self) -> int:
         return self.xyz.shape[0]
@@ -57,6 +64,8 @@ class DiffPoolDatasetArrays:
             xyz=self.xyz[idx],
             adj=np.ascontiguousarray(np.broadcast_to(self.adj, (b,) + self.adj.shape)),
             bonds=self.bonds,
+            angles=self.angles,
+            dihedrals=self.dihedrals,
         )
 
     def iter_batches(
@@ -105,9 +114,16 @@ def build_diffpool_dataset(
     adj[bonds[:, 0], bonds[:, 1]] = 1.0
     adj[bonds[:, 1], bonds[:, 0]] = 1.0
 
+    from coarsegrainingvae_tpu.data.topology import (
+        angle_triplets,
+        dihedral_quads_from_bonds,
+    )
+
     return DiffPoolDatasetArrays(
         z=np.asarray(atomic_nums, dtype=np.int32),
         xyz=traj,
         bonds=bonds,
         adj=adj,
+        angles=angle_triplets(bonds, n),
+        dihedrals=dihedral_quads_from_bonds(bonds, n),
     )

@@ -105,3 +105,47 @@ def check_cg_connected(cg_edges: np.ndarray, n_cgs: int) -> bool:
             parent[ri] = rj
     roots = {find(i) for i in range(n_cgs)}
     return len(roots) == 1
+
+
+def angle_triplets(bonds: np.ndarray, n_atoms: int) -> np.ndarray:
+    """All bonded angle index triplets (i, j, k): i and k distinct
+    neighbors of center j, i < k. The reference collects these per frame
+    via moleculekit's guessed angles (get_diffpool_data,
+    /root/reference/CoarseGrainingVAE/datasets.py:117-128); here they come
+    straight from the bond graph."""
+    nbrs = [[] for _ in range(n_atoms)]
+    for a, b in np.asarray(bonds):
+        nbrs[int(a)].append(int(b))
+        nbrs[int(b)].append(int(a))
+    out = []
+    for j in range(n_atoms):
+        ns = sorted(set(nbrs[j]))
+        for x in range(len(ns)):
+            for y in range(x + 1, len(ns)):
+                out.append((ns[x], j, ns[y]))
+    return (np.asarray(out, np.int32) if out
+            else np.zeros((0, 3), np.int32))
+
+
+def dihedral_quads_from_bonds(bonds: np.ndarray, n_atoms: int) -> np.ndarray:
+    """All proper dihedral index quads (i, j, k, l): central bond (j, k),
+    i a neighbor of j (!= k), l a neighbor of k (!= j), i != l. Bond-graph
+    equivalent of moleculekit's guessed dihedrals (datasets.py:117-128)."""
+    nbrs = [[] for _ in range(n_atoms)]
+    pairs = set()
+    for a, b in np.asarray(bonds):
+        a, b = int(a), int(b)
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+        pairs.add((min(a, b), max(a, b)))
+    out = []
+    for j, k in sorted(pairs):
+        for i in sorted(set(nbrs[j])):
+            if i == k:
+                continue
+            for l in sorted(set(nbrs[k])):
+                if l == j or l == i:
+                    continue
+                out.append((i, j, k, l))
+    return (np.asarray(out, np.int32) if out
+            else np.zeros((0, 4), np.int32))

@@ -220,3 +220,33 @@ def test_diffpool_pretrain_moves_assignment_to_target(small_system):
     state, l0 = trainer.pretrain(state, ds, target, n_epochs=1, batch_size=8)
     state, l1 = trainer.pretrain(state, ds, target, n_epochs=4, batch_size=8)
     assert l1 < l0
+
+
+def test_diffpool_batch_carries_angle_dihedral_indices():
+    """build_diffpool_dataset extracts bonded angle triplets and proper
+    dihedral quads from the bond graph (reference collects these via
+    moleculekit, datasets.py:117-128) and DiffPoolBatch carries them."""
+    import numpy as np
+
+    from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+    from coarsegrainingvae_tpu.data.topology import (
+        angle_triplets,
+        dihedral_quads_from_bonds,
+    )
+
+    # butane-like chain 0-1-2-3 with a branch 1-4
+    bonds = np.array([[0, 1], [1, 2], [2, 3], [1, 4]], np.int32)
+    ang = angle_triplets(bonds, 5)
+    # centers: 1 has nbrs {0,2,4} -> 3 triplets; 2 has {1,3} -> 1
+    assert sorted(map(tuple, ang)) == [
+        (0, 1, 2), (0, 1, 4), (1, 2, 3), (2, 1, 4)
+    ]
+    dih = dihedral_quads_from_bonds(bonds, 5)
+    # central bonds: (1,2): i in {0,4}, l in {3} -> 2 quads; others none
+    assert sorted(map(tuple, dih)) == [(0, 1, 2, 3), (4, 1, 2, 3)]
+
+    frames = np.random.default_rng(0).normal(size=(4, 5, 3)).astype(np.float32)
+    ds = build_diffpool_dataset(frames, np.array([6] * 5), bonds)
+    batch = ds.batch(np.arange(2))
+    assert batch.angles.shape == (4, 3)
+    assert batch.dihedrals.shape == (2, 4)

@@ -377,17 +377,53 @@ def synthetic_peptide(
     return z, frames, bonds
 
 
+_SIDECHAIN_TEMPLATES: dict = {}
+
+
+def _sidechain_template(aa: str) -> np.ndarray:
+    """Deterministic per-residue-type sidechain offsets (slots 4..13) in
+    the local backbone frame (fwd, side, up) -- the synthetic analogue of a
+    canonical rotamer. Fixed across all proteins/seeds, so the mapping
+    (residue type, backbone frame) -> sidechain atoms is LEARNABLE, as it
+    is for real rotamer-dominated structures; per-structure thermal noise
+    is added by the caller."""
+    if aa in _SIDECHAIN_TEMPLATES:
+        return _SIDECHAIN_TEMPLATES[aa]
+    from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14
+
+    # stable across processes (str hash is randomized by PYTHONHASHSEED)
+    rng = np.random.default_rng(7919 * (ord(aa) + 13))
+    names = ATOM_MAP_14[aa]
+    offs = np.zeros((14, 3))
+    prev = np.zeros(3)
+    grow = np.array([0.0, 1.0, 0.35])
+    grow /= np.linalg.norm(grow)
+    for slot in range(4, 14):
+        if not names[slot]:
+            break
+        prev = prev + 1.5 * grow
+        offs[slot] = prev
+        grow = grow + 0.45 * rng.normal(size=3)
+        grow /= np.linalg.norm(grow)
+    _SIDECHAIN_TEMPLATES[aa] = offs
+    return offs
+
+
 def synthetic_protein(
-    n_res: int, seed: int = 0, missing_frac: float = 0.0
+    n_res: int, seed: int = 0, missing_frac: float = 0.0,
+    noise: float = 0.06,
 ) -> Tuple[str, np.ndarray]:
     """Random protein in the atom14 layout for testing the PCN path without
     SidechainNet: (seq, crd (n_res, 14, 3)).
 
     The backbone follows a smooth random-walk C-alpha trace (3.8 A spacing);
-    backbone/sidechain atoms are placed at covalent-scale offsets around
-    their C-alpha so the covalent-radius bond graph is well formed.
-    missing_frac randomly zeroes sidechain atoms (SidechainNet items have
-    missing coordinates; zero rows mean 'absent').
+    backbone atoms sit at ideal offsets in the local chain frame and
+    sidechains follow DETERMINISTIC per-residue-type templates
+    (_sidechain_template) plus `noise` A of thermal jitter -- like real
+    rotamer-dominated structures, the all-atom geometry is a learnable
+    function of (sequence, C-alpha trace), which is exactly the PCN task
+    (reference run_pdb.py). missing_frac randomly zeroes sidechain atoms
+    (SidechainNet items have missing coordinates; zero rows = 'absent').
     """
     from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14, AMINO_ACIDS
 
@@ -410,23 +446,26 @@ def synthetic_protein(
         fwd = (ca[min(i + 1, n_res - 1)] - ca[max(i - 1, 0)])
         fwd /= np.linalg.norm(fwd) + 1e-9
         side = np.cross(fwd, [0.0, 0.0, 1.0])
-        side /= np.linalg.norm(side) + 1e-9
+        nrm = np.linalg.norm(side)
+        if nrm < 1e-6:  # fwd parallel to z: pick any perpendicular
+            side = np.cross(fwd, [0.0, 1.0, 0.0])
+            nrm = np.linalg.norm(side)
+        side /= nrm
         upv = np.cross(fwd, side)
+        frame = np.stack([fwd, side, upv])                    # (3, 3)
         crd[i, 1] = ca[i]
         crd[i, 0] = ca[i] - 1.46 * fwd + 0.2 * upv            # N
         crd[i, 2] = ca[i] + 1.52 * fwd + 0.2 * upv            # C
         crd[i, 3] = crd[i, 2] + 1.23 * upv                    # O
-        # sidechain chain growing off CA
-        prev = ca[i]
-        grow = side + 0.3 * rng.normal(size=3)
-        grow /= np.linalg.norm(grow)
+        offs = _sidechain_template(aa)
         for slot in range(4, 14):
             if not names[slot]:
                 break
-            prev = prev + 1.5 * grow
-            crd[i, slot] = prev
-            grow = grow + 0.4 * rng.normal(size=3)
-            grow /= np.linalg.norm(grow)
-            if missing_frac > 0 and rng.random() < missing_frac:
-                crd[i, slot] = 0.0
+            crd[i, slot] = ca[i] + offs[slot] @ frame
+        present = np.array([bool(nm) for nm in names])
+        crd[i, present] += noise * rng.normal(size=(int(present.sum()), 3))
+        if missing_frac > 0:
+            for slot in range(4, 14):
+                if names[slot] and rng.random() < missing_frac:
+                    crd[i, slot] = 0.0
     return seq, crd

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nsplits", type=int, default=5)
     p.add_argument("-patience", type=int, default=15)
     p.add_argument("-factor", type=float, default=0.6)
+    p.add_argument("-lr_patience", type=int, default=2)
+    p.add_argument("-min_lr", type=float, default=5e-8)
+    p.add_argument("--adam_dtype", type=str, default=None,
+                   help="Adam moment storage (float32|bfloat16); default "
+                        "from TrainConfig")
     p.add_argument("-mapshuffle", type=float, default=0.0)
     p.add_argument("-site_index", type=str, default=None,
                    help="explicit CG site atom indices for minimal/alpha "
@@ -136,7 +141,10 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
             patience=a.patience, lr_factor=a.factor,
+            lr_patience=a.lr_patience, min_lr=a.min_lr,
             checkpoint_every=a.checkpoint_every,
+            **({"adam_moment_dtype": a.adam_dtype}
+               if getattr(a, "adam_dtype", None) else {}),
         ),
         logdir=a.logdir,
     )

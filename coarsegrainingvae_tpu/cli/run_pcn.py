@@ -28,7 +28,8 @@ from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
 from coarsegrainingvae_tpu.utils.pdb import write_pdb
 
 
-def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train"):
+def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train",
+                       min_res: int = 6, max_res: int = 14):
     """Items = (seq, crd) tuples. Resolution: a pickle of
     {'seq': [...], 'crd': [...]} (the generate_pkl.py cache format), a raw
     SidechainNet dataset (pickle of split dicts, or a casp spec resolved by
@@ -48,7 +49,7 @@ def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train"):
         return load_sidechainnet(path, split=scn_split, n_data=n)
     rng = np.random.default_rng(seed)
     return [
-        synthetic_protein(int(rng.integers(6, 14)), seed=seed + i)
+        synthetic_protein(int(rng.integers(min_res, max_res)), seed=seed + i)
         for i in range(n)
     ]
 
@@ -71,10 +72,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-batch_size", type=int, default=4)
     p.add_argument("-nepochs", type=int, default=3)
     p.add_argument("-lr", type=float, default=1e-4)
+    p.add_argument("-grad_clip", type=float, default=0.01,
+                   help="grad-norm clip (reference utils.py:156 uses 0.01; "
+                        "larger values train far faster on the recon-scale "
+                        "losses of big proteins)")
     p.add_argument("-gamma", type=float, default=25.0)
     p.add_argument("-kappa", type=float, default=1.0)
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-n_dump", type=int, default=4)
+    p.add_argument("-min_res", type=int, default=6,
+                   help="synthetic stand-in protein length range")
+    p.add_argument("-max_res", type=int, default=14)
     return p
 
 
@@ -91,7 +99,8 @@ def main(argv=None):
     with open(os.path.join(logdir, "modelparams.json"), "w") as f:
         json.dump(vars(a), f, indent=2)
 
-    items = load_protein_items(a.data_pkl, a.ndata, a.seed, a.scn_split)
+    items = load_protein_items(a.data_pkl, a.ndata, a.seed, a.scn_split,
+                               a.min_res, a.max_res)
     ds = build_pcn_dataset(items, cg_cutoff=a.cutoff)
     n = len(ds)
     n_test = max(n // 5, 1)
@@ -104,7 +113,7 @@ def main(argv=None):
                       dec_nconv=a.dec_nconv, activation=a.activation)
     model = PCN(cfg=cfg)
     trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
-                         seed=a.seed)
+                         grad_clip=a.grad_clip, seed=a.seed)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)
 

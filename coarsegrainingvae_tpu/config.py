@@ -106,8 +106,10 @@ class TrainConfig:
     # Adam moment storage ("float32" | "bfloat16"). The optimizer is the
     # largest single HBM stream of the flagship step; bfloat16 moments cut
     # its traffic ~1/3 (train/trainer.py::scale_by_adam_compact). Update
-    # math stays float32. Accuracy gated by examples/accuracy_ab.py.
-    adam_moment_dtype: str = "float32"
+    # math stays float32. Default bfloat16 (round 3): measured -7% step
+    # time on one v5e at batch 32 with held-out RMSD parity
+    # (examples/accuracy_ab.py: 1.5421/1.1813 vs 1.5396/1.1845 all/heavy).
+    adam_moment_dtype: str = "bfloat16"
     checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
     log_every: int = 1
 

@@ -442,12 +442,24 @@ def synthetic_protein(
     crd = np.zeros((n_res, 14, 3), np.float32)
     for i, aa in enumerate(seq):
         names = ATOM_MAP_14[aa]
-        # backbone frame along the chain
-        fwd = (ca[min(i + 1, n_res - 1)] - ca[max(i - 1, 0)])
+        # backbone frame from LOCAL chain geometry only (tangent +
+        # curvature) -- rotation-covariant, so the all-atom placement is a
+        # function an SE(3)-equivariant model can actually learn (a frame
+        # anchored to a global axis would make the generative rule
+        # non-equivariant and the task unlearnable by construction)
+        lo, hi = max(i - 1, 0), min(i + 1, n_res - 1)
+        fwd = ca[hi] - ca[lo]
         fwd /= np.linalg.norm(fwd) + 1e-9
-        side = np.cross(fwd, [0.0, 0.0, 1.0])
+        if 0 < i < n_res - 1:
+            curv = ca[i + 1] - 2.0 * ca[i] + ca[i - 1]
+        elif n_res > 2:
+            j = 1 if i == 0 else n_res - 2
+            curv = ca[j + 1] - 2.0 * ca[j] + ca[j - 1]
+        else:
+            curv = np.array([0.0, 1.0, 0.0])
+        side = curv - np.dot(curv, fwd) * fwd
         nrm = np.linalg.norm(side)
-        if nrm < 1e-6:  # fwd parallel to z: pick any perpendicular
+        if nrm < 1e-6:  # locally straight chain: any stable perpendicular
             side = np.cross(fwd, [0.0, 1.0, 0.0])
             nrm = np.linalg.norm(side)
         side /= nrm

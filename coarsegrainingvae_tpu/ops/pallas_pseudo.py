@@ -319,12 +319,31 @@ def _pad_batch(arrs, b, tile_b):
     return [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrs], b + pad
 
 
+def _pad_beads(arrs, m, mult=8):
+    """Pad the bead axis (axis 1) to a multiple of `mult`; padded beads have
+    mask 0, so the adjacency zeroes every term they touch and the padded
+    output rows are discarded by the caller. (Mosaic rejects some tiny odd
+    second-minor sizes -- M=6 failed to compile where M=3 and M=8 lower
+    fine.)"""
+    pad = (-m) % mult
+    if pad == 0:
+        return arrs, m
+    return (
+        [jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+         for a in arrs],
+        m + pad,
+    )
+
+
 def _fused_call(xyz, mask, phi, s, sbar, v, vbar, w, cutoff, n_rbf, tile_b,
                 interpret):
-    b, m = s.shape[:2]
+    b, m_in = s.shape[:2]
     f = s.shape[-1]
     r_aug = n_rbf + 1
     mask = mask.astype(jnp.float32)
+    (xyz, mask, phi, s, sbar, v, vbar), m = _pad_beads(
+        [xyz, mask, phi, s, sbar, v, vbar], m_in
+    ) if m_in > 3 else ([xyz, mask, phi, s, sbar, v, vbar], m_in)
     (xyz, mask, phi, s, sbar, v, vbar), b_pad = _pad_batch(
         [xyz, mask, phi, s, sbar, v, vbar], b, tile_b
     )
@@ -360,8 +379,9 @@ def _fused_call(xyz, mask, phi, s, sbar, v, vbar, w, cutoff, n_rbf, tile_b,
         ],
         interpret=interpret,
     )(xyz, mask[..., None], phi, s, sbar, v, vbar, w)
-    ds, dsbar, dv, dvbar = (o[:b] for o in outs)
-    return ds, dsbar, dv.reshape(b, m, 3, f), dvbar.reshape(b, m, 3, f)
+    ds, dsbar, dv, dvbar = (o[:b, :m_in] for o in outs)
+    return (ds, dsbar, dv.reshape(b, m_in, 3, f),
+            dvbar.reshape(b, m_in, 3, f))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
@@ -390,17 +410,20 @@ def _vjp_fwd(xyz, mask, phi, s, sbar, v, vbar, w, cutoff, n_rbf, tile_b,
 def _vjp_bwd(cutoff, n_rbf, tile_b, interpret, res, cts):
     xyz, mask, phi, s, sbar, v, vbar, w = res
     gs, gsb, gv, gvb = cts
-    b, m = s.shape[:2]
+    b, m_in = s.shape[:2]
     f = s.shape[-1]
     r_aug = n_rbf + 1
     # the backward holds ~3x the forward's live VMEM (filt + g + dG + e);
     # a quarter-size batch tile keeps it under the 16 MB scoped limit
     tile_b = max(1, tile_b // 4)
     mask_f = mask.astype(jnp.float32)
+    arrs = [xyz, mask_f, phi, s, sbar, v, vbar, gs, gsb, gv, gvb]
+    if m_in > 3:
+        arrs, m = _pad_beads(arrs, m_in)
+    else:
+        m = m_in
     (xyz_p, mask_p, phi_p, s_p, sbar_p, v_p, vbar_p,
-     gs_p, gsb_p, gv_p, gvb_p), b_pad = _pad_batch(
-        [xyz, mask_f, phi, s, sbar, v, vbar, gs, gsb, gv, gvb], b, tile_b
-    )
+     gs_p, gsb_p, gv_p, gvb_p), b_pad = _pad_batch(arrs, b, tile_b)
     phi_p = phi_p.reshape(b_pad, m, 9 * f)
     v_p = v_p.reshape(b_pad, m, 3 * f)
     vbar_p = vbar_p.reshape(b_pad, m, 3 * f)
@@ -445,9 +468,10 @@ def _vjp_bwd(cutoff, n_rbf, tile_b, interpret, res, cts):
     return (
         jnp.zeros_like(xyz),            # geometry: stop-grad by contract
         jnp.zeros_like(mask),
-        d_phi[:b].reshape(b, m, 9, f),
-        d_s[:b], d_sbar[:b],
-        d_v[:b].reshape(b, m, 3, f), d_vbar[:b].reshape(b, m, 3, f),
+        d_phi[:b, :m_in].reshape(b, m_in, 9, f),
+        d_s[:b, :m_in], d_sbar[:b, :m_in],
+        d_v[:b, :m_in].reshape(b, m_in, 3, f),
+        d_vbar[:b, :m_in].reshape(b, m_in, 3, f),
         d_w.reshape(r_aug, 9, f),
     )
 

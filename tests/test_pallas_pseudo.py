@@ -111,3 +111,41 @@ def test_masked_rows_contribute_nothing():
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_m6_bead_padding_parity():
+    """M=6 (chignolin bead count) exercises the bead-axis padding path
+    (Mosaic rejected raw M=6; beads pad to 8 with zero mask): values AND
+    gradients still match the reference."""
+    rng = np.random.default_rng(11)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    m = 6
+    xyz = arr(B, m, 3) * 2.0
+    mask = jnp.ones((B, m), jnp.float32)
+    phi, s, sbar = arr(B, m, 9, F), arr(B, m, F), arr(B, m, F)
+    v, vbar = arr(B, m, 3, F), arr(B, m, 3, F)
+    w = arr(R + 1, 9, F) * 0.3
+
+    outs_p = fused_pseudo_message(xyz, mask, phi, s, sbar, v, vbar, w,
+                                  CUT, R, 4, True)
+    outs_r = pseudo_reference(xyz, mask, phi, s, sbar, v, vbar, w, CUT, R)
+    for a, b in zip(outs_p, outs_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    def loss(fn):
+        def inner(phi_, s_, v_, w_):
+            o = fn(xyz, mask, phi_, s_, sbar, v_, vbar, w_)
+            return sum(jnp.sum(x**2) for x in o)
+        return inner
+
+    g_p = jax.grad(loss(lambda *a: fused_pseudo_message(*a, CUT, R, 4, True)),
+                   argnums=(0, 1, 2, 3))(phi, s, v, w)
+    g_r = jax.grad(loss(lambda *a: pseudo_reference(*a, CUT, R)),
+                   argnums=(0, 1, 2, 3))(phi, s, v, w)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

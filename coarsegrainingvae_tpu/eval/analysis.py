@@ -61,6 +61,38 @@ def pairwise_distance_features(xyz: np.ndarray, stride: int = 1) -> np.ndarray:
 
 
 # ------------------------------------------------------------- Ramachandran
+def phi_psi_quads(
+    atom_names, mapping
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Automatic phi/psi index selection from per-atom names + residue
+    mapping (the reference gets these from pyemma's featurizer,
+    plots.py:88-101 in /root/reference; this needs no MD library).
+
+    phi(i) = C(i-1), N(i), CA(i), C(i); psi(i) = N(i), CA(i), C(i), N(i+1),
+    using only residues whose backbone atoms are all present. atom_names:
+    per-atom names ('N'/'CA'/'C'/...; e.g. from a trajectory npz written by
+    data.proteins.traj_npz_from_pdb_frames, or ATOM_NAMES[props.atom_idx]);
+    mapping: per-atom residue index. Returns (phi (P,4), psi (Q,4))."""
+    mapping = np.asarray(mapping)
+    n_res = int(mapping.max()) + 1 if mapping.size else 0
+    slot = {"N": 0, "CA": 1, "C": 2}
+    bb = -np.ones((n_res, 3), np.int64)
+    for ai, nm in enumerate(atom_names):
+        s = slot.get(str(nm))
+        if s is not None:
+            bb[mapping[ai], s] = ai
+    phis, psis = [], []
+    for i in range(n_res):
+        if i > 0 and bb[i - 1, 2] >= 0 and np.all(bb[i] >= 0):
+            phis.append([bb[i - 1, 2], bb[i, 0], bb[i, 1], bb[i, 2]])
+        if i + 1 < n_res and np.all(bb[i] >= 0) and bb[i + 1, 0] >= 0:
+            psis.append([bb[i, 0], bb[i, 1], bb[i, 2], bb[i + 1, 0]])
+    return (
+        np.asarray(phis, np.int32) if phis else np.zeros((0, 4), np.int32),
+        np.asarray(psis, np.int32) if psis else np.zeros((0, 4), np.int32),
+    )
+
+
 def ramachandran(xyz: np.ndarray, phi_quads: np.ndarray,
                  psi_quads: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Backbone (phi, psi) angles per frame (plots.py:88-101 uses pyemma's

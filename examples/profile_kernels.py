@@ -78,11 +78,24 @@ def bench_pseudo(b, m, f, n_rbf, cutoff, steps, interpret):
         return step
 
     tile_b = 8 if m <= 16 else 1
-    pallas = make(lambda *a: fused_pseudo_message(
-        *a, cutoff, n_rbf, tile_b, interpret))
     ref = make(lambda *a: pseudo_reference(*a, cutoff, n_rbf))
     args = (jnp.zeros(()), xyz, phi, s, sbar, v, vbar, w)
     timed(ref, args, steps, f"pseudo_xla_B{b}_M{m}_F{f}")
+    # static VMEM bound: the kernel holds a (tile_b, M, M, 9F) filter tile
+    # in VMEM; past the 16 MB scoped limit the Mosaic compile is KILLED
+    # after minutes (observed on-chip), so shapes over budget are reported
+    # infeasible instead of attempted
+    filt_mb = tile_b * m * m * 9 * f * 4 / 2**20
+    if filt_mb > 12.0:
+        print(json.dumps({
+            "label": f"pseudo_pallas_B{b}_M{m}_F{f}",
+            "skipped": f"VMEM-infeasible: filter tile {filt_mb:.0f} MB "
+                       "> 16 MB scoped VMEM (small-M kernel by design; "
+                       "use the stacked XLA form at this shape)",
+        }), flush=True)
+        return
+    pallas = make(lambda *a: fused_pseudo_message(
+        *a, cutoff, n_rbf, tile_b, interpret))
     timed(pallas, args, steps, f"pseudo_pallas_B{b}_M{m}_F{f}")
 
 

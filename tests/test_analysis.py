@@ -153,3 +153,32 @@ def test_vmd_render_script(tmp_path):
 
     with pytest.raises(KeyError):
         write_vmd_render_script(str(tmp_path / "x.vmd"), style="nope")
+
+
+def test_phi_psi_quads_automatic_selection():
+    """Automatic phi/psi quads from atom names + residue mapping match the
+    protein-props route (reference uses pyemma's featurizer)."""
+    import numpy as np
+
+    from coarsegrainingvae_tpu.data.sidechain import (
+        ATOM_NAMES,
+        backbone_dihedral_quads,
+        protein_props,
+    )
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+    from coarsegrainingvae_tpu.eval.analysis import phi_psi_quads, ramachandran
+
+    seq, crd = synthetic_protein(6, seed=2)
+    props = protein_props(seq, np.asarray(crd))
+    names = [ATOM_NAMES[i] for i in props.atom_idx]
+    phi, psi = phi_psi_quads(names, props.mapping)
+    # interleaved phi/psi from the sidechain-path helper == concatenation
+    both = backbone_dihedral_quads(props)
+    assert phi.shape[0] + psi.shape[0] == both.shape[0]
+    merged = sorted(map(tuple, np.concatenate([phi, psi])))
+    assert merged == sorted(map(tuple, both))
+    # and the angles evaluate finitely over frames
+    frames = props.xyz[None].repeat(3, 0)
+    phis, psis = ramachandran(frames, phi, psi)
+    assert np.isfinite(phis).all() and np.isfinite(psis).all()
+    assert phis.shape == (3, phi.shape[0])

@@ -36,8 +36,11 @@ def main() -> None:
     from coarsegrainingvae_tpu.parallel.mesh import make_mesh
     from coarsegrainingvae_tpu.train.trainer import Trainer
 
-    # canonical dipeptide benchmark hyperparameters (README.md:58)
-    batch_size = 32
+    # canonical dipeptide benchmark architecture (README.md:58) at the
+    # round-3 training recipe: batch 64 + linearly-scaled LR, bf16 matmuls
+    # AND bf16 Adam moments (accuracy gated by examples/accuracy_ab.py and
+    # the committed full-600-epoch folds in examples/results/)
+    batch_size = 64
     cfg = ExperimentConfig(
         model=ModelConfig(
             n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
@@ -45,7 +48,8 @@ def main() -> None:
             breaksym=True,
         ),
         data=DataConfig(batch_size=batch_size),
-        train=TrainConfig(lr=8e-5, beta=0.05, gamma=25.0, grad_clip=0.01),
+        train=TrainConfig(lr=1.6e-4, beta=0.05, gamma=25.0, grad_clip=0.01,
+                          adam_moment_dtype="bfloat16"),
     )
 
     z, frames, bonds = synthetic_peptide("dipeptide", n_frames=256, seed=0)
@@ -98,7 +102,8 @@ def main() -> None:
     samples_per_sec = n_steps * batch_size / dt
     per_chip = samples_per_sec / n_dev
     details = {
-        "config": "dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo batch32",
+        "config": "dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo batch64 "
+                  "lr-scaled bf16-matmuls bf16-adam",
         "pseudo_impl": cfg.model.pseudo_impl,
         "message_impl": cfg.model.message_impl,
         "ms_per_step": round(dt / n_steps * 1e3, 3),

@@ -283,11 +283,14 @@ def _bwd_kernel(
         g2_acc = g2_acc + g2_d
         dphi2 = dphi2 + fold(g2_d, w[:, 2])
         g0_d = contract(gv_d)
-        g0_acc = g0_acc + g0_d * v_t[:, d, None, :]   # for d_w0
+        # NOTE expand_dims, not [:, d, None, :]: mixed None+slice bracket
+        # indexing lowers to an unsupported >2D gather in Mosaic
+        vt_d = jnp.expand_dims(v_t[:, d, :], 1)
+        g0_acc = g0_acc + g0_d * vt_d                 # for d_w0
         a0.append(fold(g0_d, w[:, 0]))
         if cross:
             g3_d = contract(gam3[:, d, :])
-            g3_acc = g3_acc + g3_d * v_t[:, d, None, :]
+            g3_acc = g3_acc + g3_d * vt_d
             a3.append(fold(g3_d, w[:, 3]))
 
     # d_phi (tile as sender)
@@ -317,12 +320,15 @@ def _bwd_kernel(
     dv_ref[0] = jnp.stack(dv, axis=1)                 # (TI, 3, F)
 
     # ---- d_w[r, ch, f] = sum_j G_ch[j, r, f] * payload_ch[j, f]
-    dw1 = jnp.sum(g1 * phi_t[:, 1, None, :], axis=0)         # (R+1, F)
-    dw2 = jnp.sum(g2_acc * phi_t[:, 2, None, :], axis=0)
-    dw0 = jnp.sum(g0_acc * phi_t[:, 0, None, :], axis=0)
+    def pt(ch):  # (TI, 1, F) tile payload; expand_dims for Mosaic
+        return jnp.expand_dims(phi_t[:, ch, :], 1)
+
+    dw1 = jnp.sum(g1 * pt(1), axis=0)                        # (R+1, F)
+    dw2 = jnp.sum(g2_acc * pt(2), axis=0)
+    dw0 = jnp.sum(g0_acc * pt(0), axis=0)
     dw_parts = [dw0, dw1, dw2]
     if cross:
-        dw_parts.append(jnp.sum(g3_acc * phi_t[:, 3, None, :], axis=0))
+        dw_parts.append(jnp.sum(g3_acc * pt(3), axis=0))
     dw = jnp.stack(dw_parts, axis=1)                  # (R+1, S, F)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)

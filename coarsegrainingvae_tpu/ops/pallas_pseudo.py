@@ -335,11 +335,22 @@ def _pad_beads(arrs, m, mult=8):
     )
 
 
+def _tile_b_budget(m: int, f: int, tile_b: int, mb: float = 5.0) -> int:
+    """Clamp the batch tile so the dominant (tile_b, M, M, 9F) VMEM
+    resident stays within ~mb MB (observed on-chip: M=8 at tile_b=8 is
+    11 MB of filter alone and Mosaic fails the 16 MB scoped budget once
+    the other operands are added; M=3 at tile_b=8 is fine)."""
+    per_b = m * m * 9 * f * 4 / 2**20
+    return max(1, min(tile_b, int(mb / max(per_b, 1e-9))))
+
+
 def _fused_call(xyz, mask, phi, s, sbar, v, vbar, w, cutoff, n_rbf, tile_b,
                 interpret):
     b, m_in = s.shape[:2]
     f = s.shape[-1]
     r_aug = n_rbf + 1
+    tile_b = _tile_b_budget(m_in + (-m_in) % 8 if m_in > 3 else m_in,
+                            f, tile_b)
     mask = mask.astype(jnp.float32)
     (xyz, mask, phi, s, sbar, v, vbar), m = _pad_beads(
         [xyz, mask, phi, s, sbar, v, vbar], m_in
@@ -416,6 +427,8 @@ def _vjp_bwd(cutoff, n_rbf, tile_b, interpret, res, cts):
     # the backward holds ~3x the forward's live VMEM (filt + g + dG + e);
     # a quarter-size batch tile keeps it under the 16 MB scoped limit
     tile_b = max(1, tile_b // 4)
+    tile_b = _tile_b_budget(m_in + (-m_in) % 8 if m_in > 3 else m_in,
+                            f, tile_b, mb=1.6)
     mask_f = mask.astype(jnp.float32)
     arrs = [xyz, mask_f, phi, s, sbar, v, vbar, gs, gsb, gv, gvb]
     if m_in > 3:

@@ -107,32 +107,66 @@ def compute_rmsd_batch(
     return np.stack([aa, hv], axis=1)
 
 
+def _graph_stats_dense(ref_xyz, gen_xyz, z, scale):
+    """Dense O(N^2) sufficient statistics: (valid mask, net-diff ratio,
+    edit ratio) of gen vs ref bond graphs."""
+    ref = bond_graphs_batch(ref_xyz[None], z, scale)[0]
+    gen = bond_graphs_batch(gen_xyz, z, scale)
+    valid_mask, _ = valid_ratio(ref, gen)
+    return valid_mask, graph_diff_ratio(ref, gen), graph_edit_ratio(ref, gen)
+
+
+def _graph_stats_cell(ref_xyz, gen_xyz, z, scale):
+    """O(N) cell-list statistics via the native bond-graph diff
+    (native/bond_diff.cpp); identical semantics to _graph_stats_dense
+    (missing+spurious = edge-wise edit count; |spurious-missing| = the
+    reference's net GED; exact match <=> both zero). Parity pinned by
+    tests/test_native.py."""
+    from coarsegrainingvae_tpu.native import bond_diff as nbd
+
+    radii = _radii(z)
+    ref_edges = nbd.bond_graph_extract(ref_xyz, radii, scale)
+    missing, spurious = nbd.bond_graph_diff(gen_xyz, radii, ref_edges, scale)
+    # dense graphs count each undirected edge twice; match that scale
+    denom = max(2 * ref_edges.shape[0], 1)
+    valid_mask = (missing + spurious) == 0
+    net = 2.0 * np.abs(spurious - missing) / denom
+    edit = 2.0 * (spurious + missing) / denom
+    return valid_mask, net, edit
+
+
 def evaluate_samples(
     ref_xyz: np.ndarray,
     gen_xyz: np.ndarray,
     z: np.ndarray,
     scale: float = 1.3,
+    large_n_threshold: int = 1500,
 ) -> Dict[str, object]:
     """Full sample-quality evaluation (eval_sample_qualities,
     sampling.py:324-333): heavy-only and all-atom validity, GED ratios,
     RMSDs over valid structures.
 
     ref_xyz: (N, 3) reference structure; gen_xyz: (S, N, 3) samples.
+    Past ``large_n_threshold`` atoms the dense (N, N) pass is routed to the
+    native O(N) cell-list diff (spike-protein-scale ensembles would need
+    100M-entry matrices per structure otherwise).
     """
     z = np.asarray(z)
     heavy = z != 1
 
-    ref_all = bond_graphs_batch(ref_xyz[None], z, scale)[0]
-    gen_all = bond_graphs_batch(gen_xyz, z, scale)
-    ref_hv = bond_graphs_batch(ref_xyz[None][:, heavy], z[heavy], scale)[0]
-    gen_hv = bond_graphs_batch(gen_xyz[:, heavy], z[heavy], scale)
+    from coarsegrainingvae_tpu.native import bond_diff as nbd
 
-    valid_hv_mask, valid_hv = valid_ratio(ref_hv, gen_hv)
-    valid_all_mask, valid_all = valid_ratio(ref_all, gen_all)
-    ged_hv = graph_diff_ratio(ref_hv, gen_hv)
-    ged_all = graph_diff_ratio(ref_all, gen_all)
-    edit_hv = graph_edit_ratio(ref_hv, gen_hv)
-    edit_all = graph_edit_ratio(ref_all, gen_all)
+    stats = (
+        _graph_stats_cell
+        if z.shape[0] > large_n_threshold and nbd.available()
+        else _graph_stats_dense
+    )
+    valid_all_mask, ged_all, edit_all = stats(ref_xyz, gen_xyz, z, scale)
+    valid_hv_mask, ged_hv, edit_hv = stats(
+        ref_xyz[heavy], gen_xyz[:, heavy], z[heavy], scale
+    )
+    valid_hv = float(valid_hv_mask.mean()) if valid_hv_mask.size else 0.0
+    valid_all = float(valid_all_mask.mean()) if valid_all_mask.size else 0.0
 
     heavy_rmsds = compute_rmsd_batch(gen_xyz, ref_xyz, z, valid_hv_mask)
     all_rmsds = compute_rmsd_batch(gen_xyz, ref_xyz, z, valid_all_mask)

@@ -48,3 +48,60 @@ def test_cell_list_used_for_large_systems():
     np.fill_diagonal(d, 1e9)
     n_expected = int((d <= 5.0).sum())
     assert int(m[0].sum()) == n_expected
+
+
+def test_bond_diff_matches_dense_metrics():
+    """Native cell-list bond-graph diff == dense numpy statistics on a
+    jittered ensemble with real missing/spurious edges."""
+    import numpy as np
+
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.eval.metrics import (
+        _graph_stats_cell,
+        _graph_stats_dense,
+    )
+    from coarsegrainingvae_tpu.native import bond_diff as nbd
+
+    if not nbd.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    z, frames, bonds = synthetic_peptide("pentapeptide", n_frames=9, seed=0)
+    ref = frames[0]
+    rng = np.random.default_rng(0)
+    # escalating jitter: some samples valid, some with broken graphs
+    gen = frames[1:] + rng.normal(
+        scale=np.linspace(0.0, 0.6, 8)[:, None, None], size=frames[1:].shape
+    ).astype(np.float32)
+
+    vd, nd, ed = _graph_stats_dense(ref, gen, z, 1.3)
+    vc, nc, ec = _graph_stats_cell(ref, gen, z, 1.3)
+    np.testing.assert_array_equal(vd, vc)
+    np.testing.assert_allclose(nd, nc, rtol=1e-12)
+    np.testing.assert_allclose(ed, ec, rtol=1e-12)
+    assert vd.any() and not vd.all()  # the case actually exercises both
+
+
+def test_evaluate_samples_large_n_routing():
+    """evaluate_samples auto-routes to the cell-list path past the
+    threshold and produces the same numbers as the dense path."""
+    import numpy as np
+
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.eval.metrics import evaluate_samples
+    from coarsegrainingvae_tpu.native import bond_diff as nbd
+
+    if not nbd.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    z, frames, bonds = synthetic_peptide("chignolin", n_frames=5, seed=1)
+    ref, gen = frames[0], frames[1:]
+    dense = evaluate_samples(ref, gen, z, large_n_threshold=10**9)
+    cell = evaluate_samples(ref, gen, z, large_n_threshold=1)
+    for k in ("valid_ratio", "valid_allatom_ratio", "graph_val_ratio",
+              "graph_allatom_val_ratio", "graph_edit_ratio",
+              "graph_allatom_edit_ratio"):
+        np.testing.assert_allclose(dense[k], cell[k], rtol=1e-9, err_msg=k)

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-kappa", type=float, default=1.0)
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-n_dump", type=int, default=4)
+    p.add_argument("--dec_type", type=str, default="cross",
+                   choices=["cross", "painn", "pseudo", "pseudo2"])
+    p.add_argument("-patience", type=int, default=15)
+    p.add_argument("-lr_patience", type=int, default=2)
+    p.add_argument("-lr_factor", type=float, default=0.6)
+    p.add_argument("-min_lr", type=float, default=1e-8)
     p.add_argument("-min_res", type=int, default=6,
                    help="synthetic stand-in protein length range")
     p.add_argument("-max_res", type=int, default=14)
@@ -109,7 +115,8 @@ def main(argv=None):
     ds_val = ds.subset(np.arange(n_test, n_test + n_val))
     ds_tr = ds.subset(np.arange(n_test + n_val, n))
 
-    cfg = ModelConfig(n_basis=a.n_basis, n_rbf=a.n_rbf, atom_cutoff=a.cutoff,
+    cfg = ModelConfig(dec_type=a.dec_type,
+                      n_basis=a.n_basis, n_rbf=a.n_rbf, atom_cutoff=a.cutoff,
                       dec_nconv=a.dec_nconv, activation=a.activation)
     model = PCN(cfg=cfg)
     trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
@@ -119,7 +126,9 @@ def main(argv=None):
 
     logger = CSVLogger(os.path.join(logdir, "train_log.csv"))
     state, hist = trainer.fit(
-        state, ds_tr, ds_val, a.nepochs, a.batch_size, log_fn=logger.log
+        state, ds_tr, ds_val, a.nepochs, a.batch_size, log_fn=logger.log,
+        patience=a.patience, lr_patience=a.lr_patience,
+        lr_factor=a.lr_factor, min_lr=a.min_lr,
     )
 
     # per-protein test metrics (run_pdb.py:33-75)

@@ -457,11 +457,21 @@ class PCN(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         self.embedding = EmbeddingZeroPad(100, c.n_basis)
-        self.dec = EquivariantDecoder(
-            feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
-            num_conv=c.dec_nconv, activation=c.activation, cross=True,
-            dtype=dtype,
-        )
+        # the reference PCN fixes the cross decoder (cgvae.py:516-534);
+        # dec_type stays selectable here so pseudo-vs-cross can be measured
+        # at protein scale (same (g, S) -> (H, V) interface)
+        if c.dec_type in ("pseudo", "pseudo2"):
+            self.dec = EquivariantPseudoDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation,
+                breaksym=c.breaksym, variant=c.dec_type, dtype=dtype,
+            )
+        else:
+            self.dec = EquivariantDecoder(
+                feat_dim=c.n_basis, n_rbf=c.n_rbf, cutoff=c.atom_cutoff,
+                num_conv=c.dec_nconv, activation=c.activation,
+                cross=(c.dec_type != "painn"), dtype=dtype,
+            )
 
     def __call__(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> VAEOutput:
         """ca_mask: (B, N) marks the C-alpha atom of each residue (the

@@ -122,6 +122,27 @@ def test_pcn_forward_and_training(pcn_data):
         np.testing.assert_allclose(recon[bi][flags], ca[bi][res], atol=1e-4)
 
 
+def test_pcn_pseudo_decoder_variant(pcn_data):
+    """PCN accepts dec_type='pseudo' (decoder choice measurable at protein
+    scale); C-alpha pinning semantics are decoder-independent."""
+    import jax
+
+    ds = pcn_data
+    cfg = ModelConfig(dec_type="pseudo", n_basis=16, n_rbf=5,
+                      atom_cutoff=12.0, dec_nconv=1, activation="swish")
+    model = PCN(cfg=cfg)
+    batch, ca_mask, _, _ = next(ds.iter_batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch, ca_mask)
+    assert any("EquiMessagePseudo" in k for k in params["params"]["dec"])
+    out = model.apply(params, batch, ca_mask)
+    recon = np.asarray(out.xyz_recon).reshape(*batch.z.shape, 3)
+    ca = np.asarray(batch.cg_xyz)
+    for bi in range(batch.z.shape[0]):
+        flags = np.asarray(ca_mask[bi])
+        res = np.asarray(batch.mapping[bi])[flags]
+        np.testing.assert_allclose(recon[bi][flags], ca[bi][res], atol=1e-4)
+
+
 def test_write_pdb_roundtrip(tmp_path, pcn_data):
     seq, crd = synthetic_protein(5, seed=3)
     p = protein_props(seq, crd)

@@ -399,6 +399,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def message_vmem_mb(n: int, s: int, f: int, n_rbf: int, tile_i: int = 8) -> float:
+    """Estimated VMEM footprint (MB) of the BACKWARD kernel's resident
+    blocks (the binding one): whole-node phi/v/gs/gv + tile views + the
+    per-basis accumulators + two w-sized buffers. Used to refuse shapes
+    that would fail the 16 MB scoped-VMEM Mosaic compile after minutes."""
+    n_pad = _round_up(n, tile_i)
+    r_aug = n_rbf + 1
+    floats = (
+        n_pad * f * (s + 3 + 1 + 3)        # phi, v, gs, gv (whole graph)
+        + tile_i * f * (2 * s + 4 * 3)     # tile views + dphi/dv outputs
+        + 3 * tile_i * r_aug * f           # g0/g2/g3 accumulators
+        + 2 * r_aug * s * f                # w + dw
+        + tile_i * n_pad * (r_aug + 5)     # k, k_mat, geometry rows
+    )
+    return floats * 4 / 2**20
+
+
 def _fused_call(xyz, mask, phi, v, w, cutoff, n_rbf, tile_i, interpret):
     b, n, s, f = phi.shape
     cross = s == 4
@@ -451,7 +468,20 @@ def fused_message(
 
     phi: (B, N, S, F) pre-split per-node features (S=3 painn, S=4 cross);
     w: (R+1, S, F) filter weights (last basis row = bias channel).
+
+    Whole-graph-in-VMEM kernel: refuses shapes whose node blocks exceed
+    the scoped-VMEM budget (the Mosaic compile would fail after minutes);
+    use the einsum XLA form (`message_impl="einsum"`) at those sizes.
     """
+    if not interpret:
+        vmem = message_vmem_mb(phi.shape[1], phi.shape[2], phi.shape[3],
+                               n_rbf, tile_i)
+        if vmem > 12.0:
+            raise ValueError(
+                f"fused_message VMEM-infeasible at N={phi.shape[1]} "
+                f"F={phi.shape[3]} (~{vmem:.0f} MB node blocks > 16 MB "
+                "scoped VMEM); use message_impl='einsum' at this size"
+            )
     return _fused_call(xyz, mask, phi, v, w, cutoff, n_rbf, tile_i, interpret)
 
 

@@ -123,10 +123,24 @@ def bench_message(b, n, f, n_rbf, cutoff, steps, interpret):
 
         return step
 
-    pallas = make(lambda *a: fused_message(*a, cutoff, n_rbf, 8, interpret))
+    from coarsegrainingvae_tpu.ops.pallas_message import message_vmem_mb
+
     ref = make(lambda *a: message_reference(*a, cutoff, n_rbf))
     args = (jnp.zeros(()), xyz, phi, v, w)
     timed(ref, args, steps, f"message_xla_B{b}_N{n}_F{f}")
+    # same discipline as the pseudo kernel: whole-node feature blocks live
+    # in VMEM, so past the scoped budget the Mosaic compile fails after
+    # minutes -- report infeasible instead of attempting
+    vmem = message_vmem_mb(n, 4, f, n_rbf)
+    if vmem > 12.0:
+        print(json.dumps({
+            "label": f"message_pallas_B{b}_N{n}_F{f}",
+            "skipped": f"VMEM-infeasible: node blocks {vmem:.0f} MB "
+                       "> 16 MB scoped VMEM (whole-graph-in-VMEM kernel "
+                       "by design; use the einsum XLA form at this N)",
+        }), flush=True)
+        return
+    pallas = make(lambda *a: fused_message(*a, cutoff, n_rbf, 8, interpret))
     timed(pallas, args, steps, f"message_pallas_B{b}_N{n}_F{f}")
 
 

@@ -24,7 +24,7 @@ from coarsegrainingvae_tpu.data.dataset import build_dataset
 from coarsegrainingvae_tpu.data.proteins import load_frames
 from coarsegrainingvae_tpu.eval.analysis import pairwise_distance_features, tica
 from coarsegrainingvae_tpu.eval.sampling import reconstruct_all, sample_ensemble
-from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+from coarsegrainingvae_tpu.models.cgvae import build_flagship_model
 from coarsegrainingvae_tpu.train.checkpoint import CheckpointManager
 from coarsegrainingvae_tpu.train.trainer import Trainer
 
@@ -34,7 +34,9 @@ def load_run(modelparams: str, fold_dir: str):
     cfg = ExperimentConfig.load(modelparams)
     with open(os.path.join(fold_dir, "mapping.json")) as f:
         mapping = np.asarray(json.load(f), np.int32)
-    trainer = Trainer(CGequiVAE(cfg=cfg.model), cfg)
+    # the same model-class decision the training driver made (dense vs
+    # sparse) -- restoring with the wrong class fails the orbax tree match
+    trainer = Trainer(build_flagship_model(cfg.model), cfg)
 
     z, frames, bonds = load_frames(cfg.data.dataset, cfg.data.ndata,
                                    seed=cfg.data.seed)

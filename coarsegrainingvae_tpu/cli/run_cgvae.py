@@ -129,7 +129,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             enc_nconv=a.enc_nconv, dec_nconv=a.dec_nconv,
             activation=a.activation, dec_type=dec_type,
             breaksym=(a.n_cgs == 3),  # run_ala.py:192-197
-            det=a.det,
+            det=a.det, sparse=getattr(a, "sparse", False),
             message_impl=a.message_impl, pseudo_impl=a.pseudo_impl,
         ),
         data=DataConfig(
@@ -237,17 +237,13 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         ds_val = ds_train_full.subset(np.arange(n_val))
         ds_tr = ds_train_full.subset(np.arange(n_val, len(ds_train_full)))
 
-        if sparse or cfg.model.dec_type in ("pseudo2", "en", "inv"):
-            # pseudo2/en/inv decoders exist only in the sparse formulation
-            if not sparse and fold == 0:
-                print(f"dec_type={cfg.model.dec_type}: using the sparse "
-                      "(segment-sum) formulation")
-            model = CGequiVAE(cfg=cfg.model)
-        else:
-            # dense-regime flagship: ~5.5x the segment-sum path at small
-            # system sizes (DESIGN.md measured ladder)
-            from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE
-            model = DenseCGVAE(cfg=cfg.model)
+        from coarsegrainingvae_tpu.models.cgvae import build_flagship_model
+
+        model = build_flagship_model(cfg.model, force_sparse=sparse)
+        if isinstance(model, CGequiVAE) and not (sparse or cfg.model.sparse) \
+                and fold == 0:
+            print(f"dec_type={cfg.model.dec_type}: using the sparse "
+                  "(segment-sum) formulation")
         trainer = Trainer(model, cfg)
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(cfg.data.batch_size, len(ds_tr)))),

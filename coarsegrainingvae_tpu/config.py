@@ -41,6 +41,10 @@ class ModelConfig:
     # no normalization (its graphs are small), so default False for parity
     degree_norm: bool = False
     dropout: float = 0.0
+    # force the sparse (segment-sum) formulation even where the dense
+    # regime applies; persisted so a finished run reloads with the SAME
+    # model class (cli/postanalysis.py restores by this field)
+    sparse: bool = False
     # compute dtype for dense-layer matmuls ("float32" or "bfloat16");
     # geometry (coordinates, distances, unit vectors) always stays float32
     # and params are stored float32 either way. Default bfloat16: measured

@@ -498,3 +498,16 @@ class PCN(nn.Module):
 
 def build_cgequivae(cfg: ModelConfig) -> CGequiVAE:
     return CGequiVAE(cfg=cfg)
+
+
+def build_flagship_model(cfg: ModelConfig, force_sparse: bool = False):
+    """The ONE place that decides sparse (segment-sum CGequiVAE) vs the
+    dense-regime DenseCGVAE flagship — used by the training driver AND by
+    checkpoint reloading (cli/postanalysis.py), which must reconstruct the
+    exact param tree the run trained. pseudo2/en/inv decoders exist only
+    in the sparse formulation."""
+    if force_sparse or cfg.sparse or cfg.dec_type in ("pseudo2", "en", "inv"):
+        return CGequiVAE(cfg=cfg)
+    from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE
+
+    return DenseCGVAE(cfg=cfg)

@@ -28,6 +28,29 @@ def test_run_cgvae_cli(tmp_path):
     assert np.isfinite(rows[0]["test_all_recon_rmsd"])
 
 
+def test_postanalysis_reloads_dense_run(tmp_path):
+    """Checkpoint reload must reconstruct the SAME model class the driver
+    trained (dense flagship here) -- the orbax restore fails on a param
+    tree mismatch otherwise (caught live on a real fold in round 3)."""
+    from coarsegrainingvae_tpu.cli.postanalysis import reevaluate
+    from coarsegrainingvae_tpu.cli.run_cgvae import main
+
+    main([
+        "-logdir", str(tmp_path / "run"), "-dataset", "dipeptide",
+        "-n_cgs", "3", "-n_basis", "16", "-n_rbf", "4",
+        "-enc_nconv", "1", "-dec_nconv", "1", "-ndata", "48",
+        "-nepochs", "1", "-batch_size", "16", "-nsplits", "2",
+        "-max_folds", "1", "-beta", "0.01", "-gamma", "1.0",
+        "-n_ensemble", "2", "-nevals", "2", "--dec_type", "pseudo",
+    ])
+    run_dir = [p for p in tmp_path.iterdir() if p.name.startswith("run")][0]
+    res = reevaluate(str(run_dir / "modelparams.json"),
+                     str(run_dir / "fold0"), graph_eval=False,
+                     n_ensemble=2, nevals=2)
+    assert np.isfinite(res["all_atom_rmsd"])
+    assert len(res["tica_gen"]) > 0
+
+
 def test_run_baseline_cli(tmp_path):
     from coarsegrainingvae_tpu.cli.run_baseline import main
 

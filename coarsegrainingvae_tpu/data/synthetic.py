@@ -20,13 +20,22 @@ import numpy as np
 
 # bump whenever generation/relaxation changes so on-disk ensemble caches
 # (data/proteins.py) are invalidated instead of silently served stale
-SYNTH_VERSION = 4  # v4: temporally-correlated "md" trajectory mode default
+SYNTH_VERSION = 5  # v5: basin-dominated (OU) dynamics for chignolin
 
-# dipeptide stand-in matches alanine dipeptide's size: 22 atoms, 10 heavy
+# dipeptide stand-in matches alanine dipeptide's size: 22 atoms, 10 heavy.
+# ou_kappa / hop_scale shape the "md" trajectory statistics per preset:
+# ou_kappa > 0 makes torsions mean-revert to the initial (folded) reference
+# conformer with stationary std sigma_step/sqrt(2*kappa), and hop_scale
+# thins the basin-hop rate -- a folded miniprotein at 300 K is
+# basin-dominated with occasional excursions (DESRES chignolin,
+# /root/reference/README.md:61-64), NOT a free random walk in torsion
+# space. ou_kappa=0 / hop_scale=1 (dipeptide, pentapeptide) reproduce the
+# v4 free-diffusion statistics bit-identically.
 _PRESETS = {
     "dipeptide": dict(n_heavy=10, n_frames_default=20000),
     "pentapeptide": dict(n_heavy=40, n_frames_default=10000),
-    "chignolin": dict(n_heavy=77, n_frames_default=5000),
+    "chignolin": dict(n_heavy=77, n_frames_default=5000,
+                      ou_kappa=0.15, hop_scale=0.25),
 }
 
 _BOND_CC = 1.52
@@ -333,13 +342,17 @@ def synthetic_peptide(
         # hop rate scales inversely with the downstream arm a bond swings:
         # terminal torsions flip often, core torsions rarely (as in a real
         # folded chain) -- also bounds the per-frame cartesian excursion
+        ou_kappa = float(_PRESETS[name].get("ou_kappa", 0.0))
+        hop_scale = float(_PRESETS[name].get("hop_scale", 1.0))
         p_hop = np.array([min(0.06, 0.24 / max(len(ds), 1))
-                          for ds in downstream])
+                          for ds in downstream]) * hop_scale
         _, theta = _grow_frame()
+        theta_ref = theta  # folded-state reference torsions (OU mean)
         nrot = len(rotatable)
         thetas = np.empty((n_frames, nrot))
         for f in range(n_frames):
-            theta = theta + rng.normal(scale=sigma_step, size=nrot)
+            theta = (theta + ou_kappa * (theta_ref - theta)
+                     + rng.normal(scale=sigma_step, size=nrot))
             hops = np.flatnonzero(rng.random(nrot) < p_hop)
             if hops.size:
                 theta = theta.copy()

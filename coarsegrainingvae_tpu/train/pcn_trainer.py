@@ -166,6 +166,15 @@ class PCNTrainer:
         stopper = EarlyStopping(patience=patience)
         shuffle_rng = np.random.default_rng(self.seed)
         history = []
+        # Track the best-val params: Adam renormalizes clipped gradients, so
+        # a long run can destabilize late (observed at lr 3e-3 around epoch
+        # 20 on 50-80-residue proteins); test metrics must come from the
+        # best validation checkpoint, not whatever the final step left
+        # behind (reference keeps best_model the same way, run_pdb.py).
+        best_val = np.inf
+        # host copies: the train step donates its input state, so holding a
+        # device reference across epochs would alias invalidated buffers
+        best_params = jax.device_get(state.params)
         for epoch in range(nepochs):
             t0 = time.time()
             state, train_m = self.run_epoch(
@@ -185,9 +194,12 @@ class PCNTrainer:
             history.append(row)
             if log_fn is not None:
                 log_fn(row)
+            if np.isfinite(val_m["loss"]) and val_m["loss"] < best_val:
+                best_val = val_m["loss"]
+                best_params = jax.device_get(state.params)
             if controller.converged:
                 break
             stopper(smoothed)
             if stopper.early_stop or not np.isfinite(val_m["recon"]):
                 break
-        return state, history
+        return state.replace(params=best_params), history

@@ -291,3 +291,20 @@ def test_load_sidechainnet_pickle_roundtrip(tmp_path):
         pickle.dump(data, f)
     items = load_sidechainnet(str(p), split="train")
     assert len(items) == 1 and items[0][0] == seq
+
+
+def test_pcn_fit_returns_best_val_params(pcn_data):
+    """fit must hand back the parameters of the best-validation epoch, not
+    the final step's (long runs can destabilize late; the reference keeps
+    best_model the same way, run_pdb.py)."""
+    ds = pcn_data
+    cfg = ModelConfig(n_basis=16, n_rbf=5, atom_cutoff=12.0, dec_nconv=1,
+                      activation="swish")
+    trainer = PCNTrainer(PCN(cfg=cfg), gamma=1.0, kappa=0.5, lr=5e-3)
+    batch, ca_mask, _, _ = next(ds.iter_batches(4))
+    state = trainer.init_state(batch, ca_mask)
+    ds_tr, ds_val = ds.subset(np.arange(6)), ds.subset(np.arange(6, 8))
+    state, hist = trainer.fit(state, ds_tr, ds_val, nepochs=4, batch_size=4)
+    vals = [h["val_loss"] for h in hist]
+    _, m = trainer.run_epoch(state, ds_val, 4, train=False)
+    np.testing.assert_allclose(m["loss"], min(vals), rtol=1e-5)

@@ -141,3 +141,39 @@ def test_newman_mapping_lumps_excess_components_into_last_bead():
     assert mapping.max() == 1 and mapping.min() == 0
     # first component keeps bead 0; all later components lump into bead 1
     assert (mapping == 1).sum() == 6
+
+
+def test_ou_dynamics_bound_conformational_drift():
+    """Presets with ou_kappa > 0 (chignolin) must produce basin-dominated
+    "md" trajectories: torsions mean-revert to the folded reference, so
+    late frames stay near the start and every frame has a close neighbor,
+    while ou_kappa=0 free diffusion drifts without bound. Pins the v5
+    generator semantics (real 300 K miniprotein data is basin-dominated,
+    reference README.md:61-64)."""
+    import coarsegrainingvae_tpu.data.synthetic as S
+
+    base = dict(n_heavy=8, n_frames_default=10)
+    S._PRESETS["_test_free"] = dict(base)
+    S._PRESETS["_test_ou"] = dict(base, ou_kappa=0.2, hop_scale=0.25)
+    try:
+        _, fr_free, _ = S.synthetic_peptide("_test_free", n_frames=150, seed=5)
+        _, fr_ou, _ = S.synthetic_peptide("_test_ou", n_frames=150, seed=5)
+    finally:
+        del S._PRESETS["_test_free"], S._PRESETS["_test_ou"]
+
+    def drift(frames):
+        # mean displacement of the last 50 frames from the first frame
+        d = frames[-50:] - frames[0]
+        return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+    def median_nn(frames):
+        x = frames[::2]
+        d2 = ((x[:, None] - x[None, :]) ** 2).sum(-1).mean(-1)
+        r = np.sqrt(d2)
+        np.fill_diagonal(r, np.inf)
+        return float(np.median(r.min(1)))
+
+    assert drift(fr_ou) < drift(fr_free), (drift(fr_ou), drift(fr_free))
+    assert median_nn(fr_ou) < median_nn(fr_free), (
+        median_nn(fr_ou), median_nn(fr_free)
+    )

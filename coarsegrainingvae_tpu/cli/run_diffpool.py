@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n_pretrain", type=int, default=0)
     p.add_argument("-nsplits", type=int, default=2)
     p.add_argument("-patience", type=int, default=20)
+    p.add_argument("-lr_patience", type=int, default=10,
+                   help="plateau-controller patience (epochs)")
+    p.add_argument("-lr_factor", type=float, default=0.6)
+    p.add_argument("-min_lr", type=float, default=1e-8)
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-cg_method", type=str, default="diff",
                    choices=["diff", "newman"])
@@ -111,7 +115,8 @@ def main(argv=None):
         logger = CSVLogger(os.path.join(split_dir, "train_log.csv"))
         state, hist = trainer.fit(
             state, ds_tr, ds_val, a.nepochs, a.batch_size,
-            patience=a.patience, log_fn=logger.log,
+            patience=a.patience, lr_patience=a.lr_patience,
+            lr_factor=a.lr_factor, min_lr=a.min_lr, log_fn=logger.log,
         )
         if not hist:
             continue

@@ -20,7 +20,7 @@ import numpy as np
 
 # bump whenever generation/relaxation changes so on-disk ensemble caches
 # (data/proteins.py) are invalidated instead of silently served stale
-SYNTH_VERSION = 5  # v5: basin-dominated (OU) dynamics for chignolin
+SYNTH_VERSION = 6  # v6: vdW-like nonbonded relax margin for chignolin
 
 # dipeptide stand-in matches alanine dipeptide's size: 22 atoms, 10 heavy.
 # ou_kappa / hop_scale shape the "md" trajectory statistics per preset:
@@ -31,11 +31,19 @@ SYNTH_VERSION = 5  # v5: basin-dominated (OU) dynamics for chignolin
 # /root/reference/README.md:61-64), NOT a free random walk in torsion
 # space. ou_kappa=0 / hop_scale=1 (dipeptide, pentapeptide) reproduce the
 # v4 free-diffusion statistics bit-identically.
+#
+# relax_margin is the nonbonded floor in units of the 1.3x covalent
+# cutoff (relax_frames margin). Real molecules keep nonbonded atoms at
+# van-der-Waals separations FAR outside covalent cutoffs (H..H vdW
+# ~2.2 A vs the 0.81 A H-H covalent cutoff); the 1.15 default leaves
+# nonbonded pairs unphysically close to the bonded/nonbonded decision
+# boundary, which makes exact-graph validity brittle in a way real MD
+# frames are not. chignolin uses a vdW-like 1.30.
 _PRESETS = {
     "dipeptide": dict(n_heavy=10, n_frames_default=20000),
     "pentapeptide": dict(n_heavy=40, n_frames_default=10000),
     "chignolin": dict(n_heavy=77, n_frames_default=5000,
-                      ou_kappa=0.15, hop_scale=0.25),
+                      ou_kappa=0.15, hop_scale=0.25, relax_margin=1.30),
 }
 
 _BOND_CC = 1.52
@@ -241,7 +249,8 @@ def synthetic_peptide(
     # relax the base conformer first: its bond lengths become the rest
     # lengths every frame is restrained to
     rest0 = np.linalg.norm(base[bonds[:, 0]] - base[bonds[:, 1]], axis=-1)
-    base = relax_frames(z, base[None], bonds, rest0)[0]
+    relax_margin = float(_PRESETS[name].get("relax_margin", 1.15))
+    base = relax_frames(z, base[None], bonds, rest0, margin=relax_margin)[0]
     rest = np.linalg.norm(base[bonds[:, 0]] - base[bonds[:, 1]], axis=-1)
 
     downstream = [
@@ -366,7 +375,7 @@ def synthetic_peptide(
     else:
         for f in range(n_frames):
             frames[f] = sample_frame()
-    frames = relax_frames(z, frames, bonds, rest)
+    frames = relax_frames(z, frames, bonds, rest, margin=relax_margin)
 
     # repair-and-relax the stragglers the descent could not untangle; in
     # "md" mode bad frames copy their nearest clean neighbor (+ jitter) so
@@ -383,7 +392,8 @@ def synthetic_peptide(
                                                    size=base.shape)
             else:
                 frames[f] = sample_frame()
-        frames[bad] = relax_frames(z, frames[bad], bonds, rest)
+        frames[bad] = relax_frames(z, frames[bad], bonds, rest,
+                                   margin=relax_margin)
 
     frames = frames.astype(np.float32)
     frames -= frames.mean(axis=1, keepdims=True)
@@ -411,13 +421,34 @@ def _sidechain_template(aa: str) -> np.ndarray:
     prev = np.zeros(3)
     grow = np.array([0.0, 1.0, 0.35])
     grow /= np.linalg.norm(grow)
+    # real sidechains reach at most ~7 A from the C-alpha (ARG/LYS tips);
+    # 1.5 A per-slot steps let 10-slot chains extend to ~15 A, which makes
+    # tip placement amplify backbone-frame error far beyond anything the
+    # PCN task sees on real proteins. Use bonded-step 1.2 A inside a 7 A
+    # rotamer envelope; steps that would leave the envelope or land within
+    # 1 A of an earlier slot (spurious covalent contacts in the
+    # coordinate-derived bond graph) are re-drawn.
+    max_extent = 7.0
+    placed = [np.zeros(3)]  # the C-alpha itself
     for slot in range(4, 14):
         if not names[slot]:
             break
-        prev = prev + 1.5 * grow
+        cand, g2, best_score = None, grow, -np.inf
+        for _ in range(20):
+            g = grow + 0.45 * rng.normal(size=3)
+            g /= np.linalg.norm(g)
+            c = prev + 1.2 * g
+            near = min(np.linalg.norm(c - p) for p in placed)
+            if np.linalg.norm(c) <= max_extent and near >= 1.0:
+                cand, g2 = c, g
+                break
+            # keep the least-bad candidate: prefer separated, in-envelope
+            score = min(near, 1.0) - max(np.linalg.norm(c) - max_extent, 0.0)
+            if score > best_score:
+                best_score, cand, g2 = score, c, g
+        prev, grow = cand, g2
         offs[slot] = prev
-        grow = grow + 0.45 * rng.normal(size=3)
-        grow /= np.linalg.norm(grow)
+        placed.append(prev)
     _SIDECHAIN_TEMPLATES[aa] = offs
     return offs
 

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-cg_method", type=str, default="diff",
                    choices=["diff", "newman"])
     p.add_argument("--det", action="store_true", default=False)
+    p.add_argument("--sample_hard", action="store_true", default=False,
+                   help="generative sampling commits to the argmax "
+                        "assignment (noise-free tau->0 limit) instead of "
+                        "re-drawing gumbel noise per sample")
     return p
 
 
@@ -128,10 +132,16 @@ def main(argv=None):
         )
         xs = trainer.sample(
             state.params, ds_test.batch(np.arange(min(8, len(ds_test)))),
-            jax.random.PRNGKey(a.seed),
+            jax.random.PRNGKey(a.seed), a.sample_hard,
         )
         samples = np.asarray(jax.device_get(xs))
         np.save(os.path.join(split_dir, "test_samples.npy"), samples)
+
+        # final params for post-hoc reload (flax msgpack)
+        from flax import serialization
+
+        with open(os.path.join(split_dir, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state.params)))
 
         # sample-quality metrics (valid ratio / GED vs the covalent bond
         # graph, run_diffpool.py:46-113 of the reference)

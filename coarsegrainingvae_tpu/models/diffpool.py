@@ -82,8 +82,13 @@ class CGpool(nn.Module):
 
     @nn.compact
     def __call__(
-        self, z: Array, xyz: Array, adj: Array, tau: Array
+        self, z: Array, xyz: Array, adj: Array, tau: Array,
+        hard: bool = False,
     ) -> PoolOutput:
+        """hard=True commits to the deterministic argmax assignment (the
+        noise-free tau->0 limit of the gumbel-softmax) -- generative
+        sampling uses it so a near-tie logit cannot flip an atom to a
+        distant bead between draws."""
         h = EmbeddingZeroPad(100, self.feat_dim)(z)
 
         # receiver-degree-normalized bond convs (diffpoolvae.py:158-169)
@@ -103,12 +108,20 @@ class CGpool(nn.Module):
                 "assign_map", nn.initializers.normal(1.0),
                 (self.n_atoms, self.n_cgs), self.dtype,
             )
-            m = gumbel_softmax(self.make_rng("gumbel"), logits, tau)
+            if hard:
+                m = jax.nn.one_hot(jnp.argmax(logits, -1), self.n_cgs,
+                                   dtype=h.dtype)
+            else:
+                m = gumbel_softmax(self.make_rng("gumbel"), logits, tau)
             m = jnp.broadcast_to(m, (h.shape[0],) + m.shape)
         else:
             logits = MLP([self.feat_dim, self.n_cgs], activation="Tanh",
                          dtype=self.dtype)(h)
-            m = gumbel_softmax(self.make_rng("gumbel"), logits, tau)
+            if hard:
+                m = jax.nn.one_hot(jnp.argmax(logits, -1), self.n_cgs,
+                                   dtype=h.dtype)
+            else:
+                m = gumbel_softmax(self.make_rng("gumbel"), logits, tau)
 
         m_norm = m / (jnp.sum(m, axis=1, keepdims=True) + 1e-8)
         H = jnp.einsum("bnk,bnf->bkf", m_norm, h)
@@ -166,8 +179,9 @@ class DiffPoolVAE(nn.Module):
         self.atom_munet = MLP([c.feat_dim, c.feat_dim], activation="ReLU", dtype=dtype)
         self.atom_sigmanet = MLP([c.feat_dim, c.feat_dim], activation="ReLU", dtype=dtype)
 
-    def pool(self, z: Array, xyz: Array, adj: Array, tau: Array) -> PoolOutput:
-        return self.pooler(z, xyz, adj, tau)
+    def pool(self, z: Array, xyz: Array, adj: Array, tau: Array,
+             hard: bool = False) -> PoolOutput:
+        return self.pooler(z, xyz, adj, tau, hard=hard)
 
     def __call__(self, z: Array, xyz: Array, adj: Array, tau: Array) -> DiffPoolOutput:
         xyz = xyz - jnp.mean(xyz, axis=1, keepdims=True)  # diffpoolvae.py:65
@@ -195,10 +209,12 @@ class DiffPoolVAE(nn.Module):
             prior_mu=prior_mu, prior_sigma=prior_sigma,
         )
 
-    def sample(self, z: Array, xyz: Array, adj: Array, tau: Array) -> Array:
+    def sample(self, z: Array, xyz: Array, adj: Array, tau: Array,
+               hard: bool = False) -> Array:
         """Generative sampling from the conditional prior
-        (diffpoolvae.py:26-58)."""
-        pool = self.pooler(z, xyz, adj, tau)
+        (diffpoolvae.py:26-58). hard=True commits to the argmax
+        assignment (CGpool docstring)."""
+        pool = self.pooler(z, xyz, adj, tau, hard=hard)
         prior_mu, prior_sigma = self.prior_net(pool.H, pool.cg_adj, pool.cg_xyz)
         eps = jax.random.normal(self.make_rng("sample"), prior_mu.shape,
                                 prior_mu.dtype)

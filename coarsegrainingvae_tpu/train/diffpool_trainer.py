@@ -97,7 +97,7 @@ class DiffPoolTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._pretrain_step = jax.jit(self._pretrain_step_impl, donate_argnums=(0,))
-        self._sample = jax.jit(self._sample_impl)
+        self._sample = jax.jit(self._sample_impl, static_argnums=(3,))
 
     def _tau(self, step: Array) -> Array:
         c = self.cfg
@@ -176,11 +176,11 @@ class DiffPoolTrainer:
             loss,
         )
 
-    def _sample_impl(self, params, batch, rng):
+    def _sample_impl(self, params, batch, rng, hard=False):
         return self.model.apply(
             {"params": params},
             jnp.asarray(batch.z), jnp.asarray(batch.xyz), jnp.asarray(batch.adj),
-            jnp.asarray(self.cfg.tau_min),
+            jnp.asarray(self.cfg.tau_min), hard,
             method=self.model.sample,
             rngs={"gumbel": rng, "sample": jax.random.fold_in(rng, 7)},
         )
@@ -189,8 +189,8 @@ class DiffPoolTrainer:
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng)
 
-    def sample(self, params, batch, rng):
-        return self._sample(params, batch, rng)
+    def sample(self, params, batch, rng, hard: bool = False):
+        return self._sample(params, batch, rng, hard)
 
     def pretrain(
         self,

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "losses of big proteins)")
     p.add_argument("-gamma", type=float, default=25.0)
     p.add_argument("-kappa", type=float, default=1.0)
+    p.add_argument("-aux_warmup", type=int, default=0,
+                   help="ramp the graph/dihedral loss weights 0->1 over "
+                        "this many epochs (recon-first curriculum); 0 = "
+                        "full loss from step 0 (reference behavior)")
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-n_dump", type=int, default=4)
     p.add_argument("--dec_type", type=str, default="cross",
@@ -120,7 +124,8 @@ def main(argv=None):
                       dec_nconv=a.dec_nconv, activation=a.activation)
     model = PCN(cfg=cfg)
     trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
-                         grad_clip=a.grad_clip, seed=a.seed)
+                         grad_clip=a.grad_clip, seed=a.seed,
+                         aux_warmup=a.aux_warmup)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)
 
@@ -130,6 +135,12 @@ def main(argv=None):
         patience=a.patience, lr_patience=a.lr_patience,
         lr_factor=a.lr_factor, min_lr=a.min_lr,
     )
+
+    # best-val params for post-hoc reload (flax msgpack)
+    from flax import serialization
+
+    with open(os.path.join(logdir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state.params)))
 
     # per-protein test metrics (run_pdb.py:33-75)
     results = CSVLogger(os.path.join(logdir, "test_results.csv"))

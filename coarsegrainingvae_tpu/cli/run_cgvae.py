@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-auxcutoff", type=float, default=0.0)
     p.add_argument("-beta", type=float, default=0.001)
     p.add_argument("-gamma", type=float, default=0.01)
+    p.add_argument("-zeta", type=float, default=0.0,
+                   help="excluded-volume hinge weight on nonbonded pair "
+                        "distances (repo extension; 0 = reference loss)")
+    p.add_argument("-steric_margin", type=float, default=0.3,
+                   help="safety margin (A) above the covalent-validity "
+                        "cutoff for the -zeta hinge")
     p.add_argument("-nsplits", type=int, default=5)
     p.add_argument("-patience", type=int, default=15)
     p.add_argument("-factor", type=float, default=0.6)
@@ -140,6 +146,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         ),
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
+            zeta=a.zeta, steric_margin=a.steric_margin,
             patience=a.patience, lr_factor=a.factor,
             lr_patience=a.lr_patience, min_lr=a.min_lr,
             checkpoint_every=a.checkpoint_every,
@@ -244,7 +251,14 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
                 and fold == 0:
             print(f"dec_type={cfg.model.dec_type}: using the sparse "
                   "(segment-sum) formulation")
-        trainer = Trainer(model, cfg)
+        steric = None
+        if cfg.train.zeta > 0.0:
+            from coarsegrainingvae_tpu.train.losses import build_steric_tables
+
+            steric = build_steric_tables(
+                z, bonds, margin=cfg.train.steric_margin
+            )
+        trainer = Trainer(model, cfg, steric_tables=steric)
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(cfg.data.batch_size, len(ds_tr)))),
             seed=cfg.data.seed,

@@ -114,6 +114,13 @@ class TrainConfig:
     # time on one v5e at batch 32 with held-out RMSD parity
     # (examples/accuracy_ab.py: 1.5421/1.1813 vs 1.5396/1.1845 all/heavy).
     adam_moment_dtype: str = "bfloat16"
+    # excluded-volume hinge on nonbonded pair distances (repo extension,
+    # train/losses.py::steric_loss). 0.0 = reference loss exactly; > 0
+    # penalizes reconstructions that push nonbonded atoms inside the
+    # covalent-validity cutoff + steric_margin. The bond-graph validity
+    # metric's dominant failure mode at protein scale.
+    zeta: float = 0.0
+    steric_margin: float = 0.3
     checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
     log_every: int = 1
 

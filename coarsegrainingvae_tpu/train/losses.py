@@ -6,6 +6,7 @@ from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
+from coarsegrainingvae_tpu.eval.metrics import COVALENT_RADII as COVALENT_RADII_TABLE
 from coarsegrainingvae_tpu.models.cgvae import FlatGraph, VAEOutput
 
 Array = jnp.ndarray
@@ -76,14 +77,72 @@ def graph_loss(
     return jnp.mean(sq)
 
 
+def build_steric_tables(
+    z, bonds, scale: float = 1.3, margin: float = 0.3
+):
+    """Host-side (numpy) excluded-volume tables for `steric_loss`.
+
+    z: (N,) atomic numbers (0 = padding); bonds: (Eb, 2) COVALENT bonds
+    only (not the k-hop graph-loss expansion). Returns
+    (thresh (N, N) f32, pair_mask (N, N) bool): for every nonbonded
+    real-atom pair, the distance below which the exact-bond-graph validity
+    metric (eval/metrics.py::valid_ratio, reference sampling.py:120-194)
+    would see a spurious edge -- scale*(r_i+r_j) -- plus a safety margin.
+
+    This term has no reference analogue (the reference's loss is
+    recon+KL+graph, utils.py:141); it exists because the validity metric's
+    dominant failure mode at protein scale is nonbonded 1-3/1-4 pairs
+    reconstructed slightly inside the covalent cutoff, and excluded volume
+    is physics the data itself obeys. Off unless zeta > 0.
+    """
+    import numpy as np  # host-side only
+
+    z = np.asarray(z)
+    n = z.shape[0]
+    real = z > 0
+    r = np.array([COVALENT_RADII_TABLE.get(int(v), 1.5) for v in z])
+    thresh = (r[None, :] + r[:, None]) * scale + margin
+    mask = real[None, :] & real[:, None]
+    mask[np.arange(n), np.arange(n)] = False
+    for a, b in np.asarray(bonds).reshape(-1, 2):
+        mask[int(a), int(b)] = mask[int(b), int(a)] = False
+    return thresh.astype(np.float32), mask
+
+
+def steric_loss(
+    xyz_recon: Array, thresh: Array, pair_mask: Array
+) -> Array:
+    """Mean squared hinge on nonbonded pair distances below `thresh`.
+
+    xyz_recon: (B*N, 3) flattened reconstruction (VAEOutput layout);
+    thresh/pair_mask: (N, N) single-topology tables from
+    `build_steric_tables` (the dominant single-topology regime,
+    data/batch.py docstring). Dense (B, N, N) pass -- at N<=500 this is
+    noise next to the message-passing matmuls.
+    """
+    n = thresh.shape[0]
+    xyz = xyz_recon.reshape(-1, n, 3)
+    d = jnp.sqrt(
+        jnp.sum((xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1) + EPS
+    )
+    viol = jnp.maximum(thresh[None] - d, 0.0)
+    m = pair_mask.astype(viol.dtype)[None]
+    return jnp.sum(viol**2 * m) / jnp.maximum(
+        pair_mask.sum().astype(viol.dtype) * xyz.shape[0], 1.0
+    )
+
+
 def vae_loss(
     out: VAEOutput,
     g: FlatGraph,
     beta: float,
     gamma: float,
     legacy_kl: bool = False,
+    zeta: float = 0.0,
+    steric: Optional[Tuple[Array, Array]] = None,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """total = recon + beta*KL + gamma*graph (utils.py:141)."""
+    """total = recon + beta*KL + gamma*graph (utils.py:141)
+    [+ zeta*steric, repo extension -- see build_steric_tables]."""
     if out.mu is not None:
         loss_kl = kl_divergence(
             out.mu, out.sigma, out.prior_mu, out.prior_sigma,
@@ -97,9 +156,15 @@ def vae_loss(
     else:
         loss_graph = jnp.asarray(0.0, jnp.float32)
     total = loss_recon + beta * loss_kl + gamma * loss_graph
-    return total, {
+    metrics = {
         "loss": total,
         "recon": loss_recon,
         "kl": loss_kl,
         "graph": loss_graph,
     }
+    if zeta != 0.0 and steric is not None:
+        loss_steric = steric_loss(out.xyz_recon, steric[0], steric[1])
+        total = total + zeta * loss_steric
+        metrics["loss"] = total
+        metrics["steric"] = loss_steric
+    return total, metrics

@@ -112,9 +112,17 @@ def make_optimizer(
 class Trainer:
     """Builds jitted steps bound to (model, config, mesh)."""
 
-    def __init__(self, model, cfg: ExperimentConfig, mesh=None):
+    def __init__(self, model, cfg: ExperimentConfig, mesh=None,
+                 steric_tables=None):
         self.model = model
         self.cfg = cfg
+        # (thresh (N,N) f32, pair_mask (N,N) bool) from
+        # losses.build_steric_tables; used only when cfg.train.zeta > 0.
+        # Captured as jit constants -- static per fold like channel_idx.
+        self.steric_tables = (
+            tuple(jnp.asarray(t) for t in steric_tables)
+            if steric_tables is not None else None
+        )
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.parallel.num_devices,
             model_devices=getattr(cfg.parallel, "model_devices", 1),
@@ -203,7 +211,11 @@ class Trainer:
     def _loss_fn(self, params, batch: CGBatch, rng) -> Tuple[jnp.ndarray, Dict]:
         out = self.model.apply({"params": params}, batch, rngs={"sample": rng})
         g = flatten_batch(batch)
-        return vae_loss(out, g, self.cfg.train.beta, self.cfg.train.gamma)
+        return vae_loss(
+            out, g, self.cfg.train.beta, self.cfg.train.gamma,
+            zeta=getattr(self.cfg.train, "zeta", 0.0),
+            steric=self.steric_tables,
+        )
 
     def _train_step_impl(self, state: TrainState, batch: CGBatch, rng):
         (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(

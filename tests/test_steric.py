@@ -1,0 +1,164 @@
+"""Excluded-volume (steric) hinge loss: tables, loss values, trainer wiring.
+
+The steric term is a repo extension (no reference analogue; the reference
+loss is recon+KL+graph, scripts/utils.py:141) targeting the bond-graph
+validity metric's dominant failure mode: nonbonded 1-3/1-4 pairs
+reconstructed inside the covalent cutoff (eval/metrics.py::valid_ratio).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coarsegrainingvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from coarsegrainingvae_tpu.eval.metrics import bond_cutoff_matrix
+from coarsegrainingvae_tpu.train.losses import (
+    build_steric_tables,
+    steric_loss,
+)
+
+
+def _chain():
+    # 4-atom carbon chain: bonds 0-1, 1-2, 2-3
+    z = np.array([6, 6, 6, 6])
+    bonds = np.array([[0, 1], [1, 2], [2, 3]])
+    return z, bonds
+
+
+def test_tables_exclude_bonded_and_diagonal():
+    z, bonds = _chain()
+    thresh, mask = build_steric_tables(z, bonds, margin=0.3)
+    assert thresh.shape == (4, 4) and mask.shape == (4, 4)
+    assert not mask.diagonal().any()
+    for a, b in bonds:
+        assert not mask[a, b] and not mask[b, a]
+    # 1-3 and 1-4 pairs ARE eligible
+    assert mask[0, 2] and mask[0, 3] and mask[1, 3]
+    # threshold = validity cutoff + margin
+    np.testing.assert_allclose(
+        thresh, bond_cutoff_matrix(z) + 0.3, atol=1e-6
+    )
+
+
+def test_tables_exclude_padding():
+    z = np.array([6, 6, 0, 0])
+    thresh, mask = build_steric_tables(z, np.empty((0, 2), int))
+    assert mask[0, 1]
+    assert not mask[0, 2] and not mask[2, 3]
+
+
+def test_steric_loss_zero_when_separated_positive_when_compressed():
+    z, bonds = _chain()
+    thresh, mask = build_steric_tables(z, bonds, margin=0.3)
+    # straight chain at 1.54 A bond length: 1-3 distance 3.08, 1-4 4.62 --
+    # all eligible pairs far outside the ~2.07 A threshold
+    xyz = np.zeros((1, 4, 3), np.float32)
+    xyz[0, :, 0] = np.arange(4) * 1.54
+    flat = jnp.asarray(xyz.reshape(-1, 3))
+    assert float(steric_loss(flat, jnp.asarray(thresh), jnp.asarray(mask))) == 0.0
+
+    # fold atom 3 onto atom 0 -> spurious-contact violation
+    xyz2 = xyz.copy()
+    xyz2[0, 3] = xyz2[0, 0] + np.array([0.8, 0, 0], np.float32)
+    val = float(
+        steric_loss(
+            jnp.asarray(xyz2.reshape(-1, 3)),
+            jnp.asarray(thresh),
+            jnp.asarray(mask),
+        )
+    )
+    assert val > 0.0
+
+
+def test_steric_gradient_pushes_apart():
+    z, bonds = _chain()
+    thresh, mask = build_steric_tables(z, bonds, margin=0.3)
+    xyz = np.zeros((4, 3), np.float32)
+    xyz[:, 0] = np.arange(4) * 1.54
+    # atom 3 approaches atom 0 from the far side: only the 0-3 pair
+    # violates (3 is 2.34 A from atom 1, outside the ~2.07 A threshold)
+    xyz[3] = np.array([-0.8, 0, 0], np.float32)
+
+    g = jax.grad(
+        lambda x: steric_loss(x, jnp.asarray(thresh), jnp.asarray(mask))
+    )(jnp.asarray(xyz))
+    g = np.asarray(g)
+    # descent (-g) moves atom 3 further into -x, away from atom 0
+    assert g[3, 0] > 0.0
+    assert g[0, 0] < 0.0
+
+
+def test_vae_loss_parity_when_zeta_zero(small_dataset):
+    """zeta=0 (default) must not change the loss value or metrics keys."""
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE, flatten_batch
+    from coarsegrainingvae_tpu.train.losses import vae_loss
+
+    cfg = ModelConfig(
+        n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+        enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+        compute_dtype="float32",
+    )
+    model = CGequiVAE(cfg=cfg)
+    batch = small_dataset.batch(np.arange(4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    out = model.apply({"params": params}, batch,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    g = flatten_batch(batch)
+    base, base_m = vae_loss(out, g, 0.05, 1.0)
+    z = np.asarray(batch.z[0])
+    zeroed, zeroed_m = vae_loss(
+        out, g, 0.05, 1.0, zeta=0.0,
+        steric=tuple(map(jnp.asarray, build_steric_tables(
+            z, np.empty((0, 2), int)
+        ))),
+    )
+    assert float(base) == float(zeroed)
+    assert "steric" not in zeroed_m
+
+
+def test_trainer_with_steric_term_trains(small_dataset):
+    """End-to-end: zeta>0 adds the metric and training still converges."""
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+    from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+            enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+            compute_dtype="float32",
+        ),
+        data=DataConfig(batch_size=4, seed=0),
+        train=TrainConfig(nepochs=1, lr=1e-3, beta=0.05, gamma=1.0,
+                          zeta=5.0, grad_clip=0.01),
+    )
+    batch = small_dataset.batch(np.arange(4))
+    z = np.asarray(batch.z[0])
+    # covalent bonds of the tiny dipeptide come from the fixture topology;
+    # rebuild them the same way the CLI does (load_frames -> bonds)
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z_full, _, bonds = synthetic_peptide("dipeptide", n_frames=1, seed=7)
+    np.testing.assert_array_equal(z_full, z)
+    tables = build_steric_tables(z, bonds)
+
+    model = CGequiVAE(cfg=cfg.model)
+    trainer = Trainer(model, cfg, mesh=make_mesh(1), steric_tables=tables)
+    state = trainer.init_state(batch, seed=0)
+    rng = jax.random.PRNGKey(0)
+    first = last = None
+    for i in range(8):
+        state, m = trainer.train_step(state, batch, jax.random.fold_in(rng, i))
+        assert "steric" in m
+        assert np.isfinite(float(m["loss"]))
+        first = float(m["loss"]) if first is None else first
+        last = float(m["loss"])
+    assert last < first

@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr", type=float, default=1e-4)
     p.add_argument("-beta", type=float, default=0.05)
     p.add_argument("-gamma", type=float, default=0.0)
+    p.add_argument("-zeta", type=float, default=0.0,
+                   help="excluded-volume hinge weight (repo extension; "
+                        "0 = reference loss)")
+    p.add_argument("-steric_margin", type=float, default=0.3)
+    p.add_argument("--graph_grad", action="store_true", default=False,
+                   help="make gamma*graph gradient-active (the reference "
+                        "only tracks it, run_diffpool.py:207-210)")
     p.add_argument("-tau_0", type=float, default=2.0)
     p.add_argument("-tau_min", type=float, default=0.3)
     p.add_argument("-tau_rate", type=float, default=0.004)
@@ -103,9 +110,15 @@ def main(argv=None):
         ds_val, ds_tr = (ds_train.subset(np.arange(n_val)),
                          ds_train.subset(np.arange(n_val, len(ds_train))))
 
+        steric = None
+        if a.zeta > 0.0:
+            from coarsegrainingvae_tpu.train.losses import build_steric_tables
+
+            steric = build_steric_tables(z, bonds, margin=a.steric_margin)
         trainer = DiffPoolTrainer(
             cfg, beta=a.beta, gamma=a.gamma, lr=a.lr,
             assign_idx=assign_idx, seed=a.seed,
+            zeta=a.zeta, steric_tables=steric, graph_grad=a.graph_grad,
         )
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(a.batch_size, len(ds_tr))))

@@ -42,8 +42,16 @@ class DiffPoolTrainState:
 
 
 def diffpool_loss(
-    out: DiffPoolOutput, bonds: Array, beta: float, gamma: float
+    out: DiffPoolOutput, bonds: Array, beta: float, gamma: float,
+    zeta: float = 0.0, steric=None, graph_grad: bool = False,
 ) -> Tuple[Array, Dict[str, Array]]:
+    """Reference loss (run_diffpool.py:186-210): the OPTIMIZED total is
+    reg + recon + beta*KL (line 207); gamma*graph enters only the tracked
+    'loss_main' (line 210) that drives the plateau controller. Two
+    flag-gated repo extensions, both off by default for parity:
+    graph_grad=True adds gamma*graph to the gradient (the reference's own
+    commented-out experiment, line 206), and zeta>0 adds the
+    excluded-volume hinge (losses.steric_loss, DESIGN.md)."""
     xyz, xr, m = out.xyz, out.xyz_recon, out.assign
 
     anchor = jnp.einsum("bkd,bnk->bnd", out.cg_xyz, m)
@@ -66,8 +74,10 @@ def diffpool_loss(
     loss_graph = jnp.mean((gen_d - dat_d) ** 2)
 
     total = loss_reg + loss_recon + beta * loss_kl
+    if graph_grad:
+        total = total + gamma * loss_graph
     tracked = loss_recon + gamma * loss_graph + beta * loss_kl
-    return total, {
+    metrics = {
         "loss": tracked,
         "recon": loss_recon,
         "reg": loss_reg,
@@ -75,6 +85,13 @@ def diffpool_loss(
         "graph": loss_graph,
         "entropy": loss_entropy,
     }
+    if zeta != 0.0 and steric is not None:
+        from coarsegrainingvae_tpu.train.losses import steric_loss
+
+        loss_steric = steric_loss(xr.reshape(-1, 3), steric[0], steric[1])
+        total = total + zeta * loss_steric
+        metrics["steric"] = loss_steric
+    return total, metrics
 
 
 class DiffPoolTrainer:
@@ -86,10 +103,19 @@ class DiffPoolTrainer:
         lr: float = 1e-4,
         assign_idx: Optional[tuple] = None,
         seed: int = 123,
+        zeta: float = 0.0,
+        steric_tables=None,
+        graph_grad: bool = False,
     ):
         self.cfg = cfg
         self.beta = beta
         self.gamma = gamma
+        self.zeta = zeta
+        self.graph_grad = graph_grad
+        self.steric_tables = (
+            tuple(jnp.asarray(t) for t in steric_tables)
+            if steric_tables is not None else None
+        )
         self.base_lr = lr
         self.seed = seed
         self.model = DiffPoolVAE(cfg=cfg, assign_idx=assign_idx)
@@ -131,7 +157,9 @@ class DiffPoolTrainer:
 
         def loss_fn(p):
             out = self._apply(p, batch, rng, tau)
-            return diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma)
+            return diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma,
+                             zeta=self.zeta, steric=self.steric_tables,
+                             graph_grad=self.graph_grad)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         ok = jnp.isfinite(metrics["loss"])
@@ -152,7 +180,9 @@ class DiffPoolTrainer:
 
     def _eval_step_impl(self, params, batch, rng, step):
         out = self._apply(params, batch, rng, self._tau(step))
-        _, metrics = diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma)
+        _, metrics = diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma,
+                             zeta=self.zeta, steric=self.steric_tables,
+                             graph_grad=self.graph_grad)
         return metrics
 
     def _pretrain_step_impl(self, state: DiffPoolTrainState, batch, rng, target):

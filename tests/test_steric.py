@@ -162,3 +162,41 @@ def test_trainer_with_steric_term_trains(small_dataset):
         first = float(m["loss"]) if first is None else first
         last = float(m["loss"])
     assert last < first
+
+
+def test_diffpool_steric_and_graph_grad_flags():
+    """Parity when flags are off; steric metric + finite training when on."""
+    from coarsegrainingvae_tpu.config import DiffPoolConfig
+    from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.train.diffpool_trainer import DiffPoolTrainer
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=32, seed=3)
+    ds = build_diffpool_dataset(frames, z, bonds)
+    cfg = DiffPoolConfig(
+        n_atoms=z.shape[0], n_cgs=3, feat_dim=32, n_rbf=4,
+        atom_cutoff=8.0, cg_cutoff=30.0, pool_nconv=1, enc_nconv=1,
+        dec_nconv=1, tau_0=2.0, tau_min=0.3, tau_rate=0.004,
+        trainable_map=True,
+    )
+    batch = ds.batch(np.arange(8))
+    rng = jax.random.PRNGKey(0)
+
+    base = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=11)
+    state0 = base.init_state(batch)
+    _, m_base = base.train_step(state0, batch, rng)
+
+    tables = build_steric_tables(z, bonds)
+    ext = DiffPoolTrainer(
+        cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=11,
+        zeta=5.0, steric_tables=tables, graph_grad=True,
+    )
+    state1 = ext.init_state(batch)
+    _, m_ext = ext.train_step(state1, batch, rng)
+
+    # identical init + rng: parity of the shared tracked metrics
+    assert "steric" not in m_base
+    assert "steric" in m_ext and np.isfinite(float(m_ext["steric"]))
+    np.testing.assert_allclose(
+        float(m_base["recon"]), float(m_ext["recon"]), rtol=1e-5
+    )

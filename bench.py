@@ -40,7 +40,11 @@ def main() -> None:
     # round-3 training recipe: batch 64 + linearly-scaled LR, bf16 matmuls
     # AND bf16 Adam moments (accuracy gated by examples/accuracy_ab.py and
     # the committed full-600-epoch folds in examples/results/)
-    batch_size = 64
+    import os
+
+    # default = the committed round-3 recipe; BENCH_BATCH lets a probe
+    # measure other batch sizes without changing the contract
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     cfg = ExperimentConfig(
         model=ModelConfig(
             n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,

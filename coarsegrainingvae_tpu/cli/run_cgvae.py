@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-steric_margin", type=float, default=0.3,
                    help="safety margin (A) above the covalent-validity "
                         "cutoff for the -zeta hinge")
+    p.add_argument("-h_bond_weight", type=float, default=1.0,
+                   help="upweight X-H bonded-distance terms in the graph "
+                        "loss (repo extension; 1.0 = reference behavior)")
     p.add_argument("-nsplits", type=int, default=5)
     p.add_argument("-patience", type=int, default=15)
     p.add_argument("-factor", type=float, default=0.6)
@@ -147,6 +150,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
             zeta=a.zeta, steric_margin=a.steric_margin,
+            h_bond_weight=a.h_bond_weight,
             patience=a.patience, lr_factor=a.factor,
             lr_patience=a.lr_patience, min_lr=a.min_lr,
             checkpoint_every=a.checkpoint_every,

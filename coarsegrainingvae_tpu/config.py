@@ -121,6 +121,11 @@ class TrainConfig:
     # metric's dominant failure mode at protein scale.
     zeta: float = 0.0
     steric_margin: float = 0.3
+    # upweight X-H bonded-distance terms in the graph loss (repo
+    # extension; 1.0 = reference behavior). X-H stretches are the
+    # stiffest bonds physically and the dominant residual
+    # all-atom-validity failure once zeta removes spurious contacts.
+    h_bond_weight: float = 1.0
     checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
     log_every: int = 1
 

@@ -60,10 +60,15 @@ def recon_loss(xyz: Array, xyz_recon: Array, mask: Optional[Array] = None) -> Ar
 
 
 def graph_loss(
-    xyz: Array, xyz_recon: Array, bonds: Array, bond_mask: Optional[Array] = None
+    xyz: Array, xyz_recon: Array, bonds: Array, bond_mask: Optional[Array] = None,
+    edge_weight: Optional[Array] = None,
 ) -> Array:
     """MSE of bonded-edge distances between data and reconstruction
-    (utils.py:127-133)."""
+    (utils.py:127-133). `edge_weight` (repo extension, default None =
+    reference behavior) rescales individual edges in the weighted mean --
+    used by the `-h_bond_weight` flag to upweight X-H bonds, the stiffest
+    bonds physically and the dominant residual all-atom-validity failure
+    once the excluded-volume term removes spurious contacts."""
     gen_d = jnp.sqrt(
         jnp.sum((xyz_recon[bonds[:, 0]] - xyz_recon[bonds[:, 1]]) ** 2, -1) + EPS
     )
@@ -73,7 +78,11 @@ def graph_loss(
     sq = (gen_d - dat_d) ** 2
     if bond_mask is not None:
         m = bond_mask.astype(sq.dtype)
+        if edge_weight is not None:
+            m = m * edge_weight
         return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m), 1.0)
+    if edge_weight is not None:
+        return jnp.sum(sq * edge_weight) / jnp.maximum(jnp.sum(edge_weight), 1.0)
     return jnp.mean(sq)
 
 
@@ -140,9 +149,11 @@ def vae_loss(
     legacy_kl: bool = False,
     zeta: float = 0.0,
     steric: Optional[Tuple[Array, Array]] = None,
+    h_bond_weight: float = 1.0,
 ) -> Tuple[Array, Dict[str, Array]]:
     """total = recon + beta*KL + gamma*graph (utils.py:141)
-    [+ zeta*steric, repo extension -- see build_steric_tables]."""
+    [+ zeta*steric and h_bond_weight, repo extensions -- see
+    build_steric_tables / graph_loss]."""
     if out.mu is not None:
         loss_kl = kl_divergence(
             out.mu, out.sigma, out.prior_mu, out.prior_sigma,
@@ -152,7 +163,12 @@ def vae_loss(
         loss_kl = jnp.asarray(0.0, jnp.float32)
     loss_recon = recon_loss(out.xyz, out.xyz_recon, g.atom_mask)
     if gamma != 0.0:
-        loss_graph = graph_loss(out.xyz, out.xyz_recon, g.bonds, g.bond_mask)
+        ew = None
+        if h_bond_weight != 1.0:
+            is_h = (g.z[g.bonds[:, 0]] == 1) | (g.z[g.bonds[:, 1]] == 1)
+            ew = jnp.where(is_h, h_bond_weight, 1.0)
+        loss_graph = graph_loss(out.xyz, out.xyz_recon, g.bonds, g.bond_mask,
+                                edge_weight=ew)
     else:
         loss_graph = jnp.asarray(0.0, jnp.float32)
     total = loss_recon + beta * loss_kl + gamma * loss_graph

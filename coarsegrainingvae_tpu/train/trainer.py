@@ -215,6 +215,7 @@ class Trainer:
             out, g, self.cfg.train.beta, self.cfg.train.gamma,
             zeta=getattr(self.cfg.train, "zeta", 0.0),
             steric=self.steric_tables,
+            h_bond_weight=getattr(self.cfg.train, "h_bond_weight", 1.0),
         )
 
     def _train_step_impl(self, state: TrainState, batch: CGBatch, rng):

@@ -200,3 +200,32 @@ def test_diffpool_steric_and_graph_grad_flags():
     np.testing.assert_allclose(
         float(m_base["recon"]), float(m_ext["recon"]), rtol=1e-5
     )
+
+
+def test_h_bond_weight_parity_and_effect(small_dataset):
+    """h_bond_weight=1 is the reference graph loss exactly; >1 changes it
+    only when X-H edges disagree more/less than heavy-heavy edges."""
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE, flatten_batch
+    from coarsegrainingvae_tpu.train.losses import vae_loss
+
+    cfg = ModelConfig(
+        n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+        enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+        compute_dtype="float32",
+    )
+    model = CGequiVAE(cfg=cfg)
+    batch = small_dataset.batch(np.arange(4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    out = model.apply({"params": params}, batch,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    g = flatten_batch(batch)
+    base, base_m = vae_loss(out, g, 0.05, 1.0)
+    same, same_m = vae_loss(out, g, 0.05, 1.0, h_bond_weight=1.0)
+    assert float(base) == float(same)
+    up, up_m = vae_loss(out, g, 0.05, 1.0, h_bond_weight=4.0)
+    # weighted mean differs from unweighted unless all edges agree equally
+    assert float(up_m["graph"]) != float(base_m["graph"])
+    assert np.isfinite(float(up))

@@ -37,14 +37,19 @@ def main() -> None:
     from coarsegrainingvae_tpu.train.trainer import Trainer
 
     # canonical dipeptide benchmark architecture (README.md:58) at the
-    # round-3 training recipe: batch 64 + linearly-scaled LR, bf16 matmuls
-    # AND bf16 Adam moments (accuracy gated by examples/accuracy_ab.py and
-    # the committed full-600-epoch folds in examples/results/)
+    # round-3 training recipe: batch 128 + linearly-scaled LR, bf16 matmuls
+    # AND bf16 Adam moments. Accuracy at this recipe is gated by the
+    # committed full-600-epoch fold examples/results/dipeptide_fullbudget/
+    # c2_warm_cv_stats.csv (batch 128 / lr 3.2e-4: test RMSD 1.477 A --
+    # the best of any committed fold), so the bench batch is not a
+    # throughput-only inflation.
     import os
 
-    # default = the committed round-3 recipe; BENCH_BATCH lets a probe
-    # measure other batch sizes without changing the contract
-    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    # default = the committed c2 north-star recipe; BENCH_BATCH lets a
+    # probe measure other batch sizes without changing the contract
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    # linear LR scaling around the measured-parity (batch 64, 1.6e-4) point
+    lr = 1.6e-4 * (batch_size / 64)
     cfg = ExperimentConfig(
         model=ModelConfig(
             n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
@@ -52,7 +57,7 @@ def main() -> None:
             breaksym=True,
         ),
         data=DataConfig(batch_size=batch_size),
-        train=TrainConfig(lr=1.6e-4, beta=0.05, gamma=25.0, grad_clip=0.01,
+        train=TrainConfig(lr=lr, beta=0.05, gamma=25.0, grad_clip=0.01,
                           adam_moment_dtype="bfloat16"),
     )
 
@@ -106,8 +111,8 @@ def main() -> None:
     samples_per_sec = n_steps * batch_size / dt
     per_chip = samples_per_sec / n_dev
     details = {
-        "config": "dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo batch64 "
-                  "lr-scaled bf16-matmuls bf16-adam",
+        "config": f"dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo "
+                  f"batch{batch_size} lr-scaled bf16-matmuls bf16-adam",
         "pseudo_impl": cfg.model.pseudo_impl,
         "message_impl": cfg.model.message_impl,
         "ms_per_step": round(dt / n_steps * 1e3, 3),

@@ -7,10 +7,20 @@ Baseline derivation (reference README.md:53-58): one dipeptide CV fold
 (~14,400 train frames after the 0.9 val split of a 16,000-frame fold,
 600 epochs, batch 32) takes ~2 h on one GPU =>
 600 * 14400 / 7200 s = 1200 samples/s/device.
+
+Side artifact BENCH_DETAILS.json additionally carries, from the SAME run:
+  - "matched_b32": the dipeptide scan at the reference's own batch 32
+    (so the headline recipe-batch figure can be compared against a
+    matched-batch figure without re-running anything), and
+  - "chignolin": a chignolin-config scan (N=209, cross decoder, 9 dec
+    convs -- the sparse/cross-decoder path the dipeptide headline never
+    touches), so cross-round perf regressions there are caught.
+Set BENCH_FAST=1 to skip both extras (headline only).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -19,109 +29,185 @@ import numpy as np
 REFERENCE_SAMPLES_PER_SEC = 1200.0
 
 
-def main() -> None:
-    from coarsegrainingvae_tpu.utils.compile_cache import enable as enable_cache
+def window_starts(n_frames: int, bs: int, steps: int) -> np.ndarray:
+    # cycle window starts over [0, n_frames - bs]; the +1 keeps the
+    # modulus > 0 at bs == n_frames and (unlike `% (n - bs)`) actually
+    # varies the start when bs divides n_frames, so timed steps train
+    # on varied batches rather than memorizing the first window
+    if bs > n_frames:
+        raise ValueError(f"batch {bs} > dataset size {n_frames}")
+    return (np.arange(steps) * bs) % (n_frames - bs + 1)
 
-    enable_cache()
-    from coarsegrainingvae_tpu.config import (
-        DataConfig,
-        ExperimentConfig,
-        ModelConfig,
-        TrainConfig,
-    )
-    from coarsegrainingvae_tpu.data.dataset import build_dataset
-    from coarsegrainingvae_tpu.data.mappings import newman_mapping
-    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+def measure_scan(cfg, ds, batch_size: int, n_steps: int):
+    """Compile + time one epoch-as-one-jit scan; returns (per_chip, details).
+
+    Timing is synchronized with a host transfer -- `block_until_ready`
+    does not reliably synchronize on the tunneled axon backend.
+    """
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.data.device import DeviceDataset
     from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE
     from coarsegrainingvae_tpu.parallel.mesh import make_mesh
     from coarsegrainingvae_tpu.train.trainer import Trainer
 
-    # canonical dipeptide benchmark architecture (README.md:58) at the
-    # round-3 training recipe: batch 128 + linearly-scaled LR, bf16 matmuls
-    # AND bf16 Adam moments. Accuracy at this recipe is gated by the
-    # committed full-600-epoch fold examples/results/dipeptide_fullbudget/
-    # c2_warm_cv_stats.csv (batch 128 / lr 3.2e-4: test RMSD 1.477 A --
-    # the best of any committed fold), so the bench batch is not a
-    # throughput-only inflation.
-    import os
-
-    # default = the committed c2 north-star recipe; BENCH_BATCH lets a
-    # probe measure other batch sizes without changing the contract
-    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
-    # linear LR scaling around the measured-parity (batch 64, 1.6e-4) point
-    lr = 1.6e-4 * (batch_size / 64)
-    cfg = ExperimentConfig(
-        model=ModelConfig(
-            n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
-            enc_nconv=4, dec_nconv=5, activation="swish", dec_type="pseudo",
-            breaksym=True,
-        ),
-        data=DataConfig(batch_size=batch_size),
-        train=TrainConfig(lr=lr, beta=0.05, gamma=25.0, grad_clip=0.01,
-                          adam_moment_dtype="bfloat16"),
-    )
-
-    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=256, seed=0)
-    mapping = newman_mapping(bonds, z.shape[0], 3, seed=0)
-    ds = build_dataset(
-        mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,
-        bonds=bonds, order=2, rotate=True,
-    )
-
-    from coarsegrainingvae_tpu.data.device import DeviceDataset
-
     # dense-regime flagship: same architecture, einsum aggregation (no
     # gathers/scatters) -- measured ~2.8x the segment-sum formulation on
-    # one v5e chip at this system size
+    # one v5e chip at dipeptide size
     model = DenseCGVAE(cfg=cfg.model)
-    n_dev = 1
-    trainer = Trainer(model, cfg, mesh=make_mesh(n_dev))
-    batch = ds.batch(np.arange(batch_size))
-    state = trainer.init_state(batch, seed=0)
+    trainer = Trainer(model, cfg, mesh=make_mesh(1))
+    state = trainer.init_state(ds.batch(np.arange(batch_size)), seed=0)
 
     # device-resident data + epoch-as-one-jit: the whole measured run is a
     # single lax.scan over (S, B) index batches -- zero per-step host work
     dds = DeviceDataset.from_dataset(ds)
-    import jax.numpy as jnp
-
+    starts = window_starts(len(ds), batch_size, n_steps)
+    idx = jnp.asarray(
+        (starts[:, None] + np.arange(batch_size)[None, :]).astype(np.int32)
+    )
     rng = jax.random.PRNGKey(0)
-    n_steps = 100
-    idx = np.stack(
-        [np.arange((i * batch_size) % (len(ds) - batch_size),
-                   (i * batch_size) % (len(ds) - batch_size) + batch_size)
-         for i in range(n_steps)]
-    ).astype(np.int32)
 
     scan = jax.jit(trainer._epoch_scan_impl, donate_argnums=(0,))
     # warmup / compile at the same (S, B) shape as the timed call
-    state, metrics = scan(state, dds, jnp.asarray(idx), rng)
+    state, metrics = scan(state, dds, idx, rng)
     m0 = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
 
     t0 = time.perf_counter()
-    state, metrics = scan(state, dds, jnp.asarray(idx), jax.random.fold_in(rng, 1))
-    jax.device_get(metrics["loss"])  # true sync (block_until_ready does
-    # not reliably synchronize on the tunneled axon backend)
+    state, metrics = scan(state, dds, idx, jax.random.fold_in(rng, 1))
+    jax.device_get(metrics["loss"])  # true sync
     dt = time.perf_counter() - t0
 
     # accuracy tie-in: the throughput number is only meaningful if the SAME
-    # run is learning -- record the loss/recon trend across the measured
-    # scans to a side artifact (stdout stays ONE json line)
+    # run is learning -- record the loss/recon trend across the two scans
     m1 = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
-
-    samples_per_sec = n_steps * batch_size / dt
-    per_chip = samples_per_sec / n_dev
+    per_chip = n_steps * batch_size / dt
     details = {
-        "config": f"dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo "
-                  f"batch{batch_size} lr-scaled bf16-matmuls bf16-adam",
-        "pseudo_impl": cfg.model.pseudo_impl,
-        "message_impl": cfg.model.message_impl,
+        "batch_size": batch_size,
+        "n_steps": n_steps,
         "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "samples_per_sec_per_chip": round(per_chip, 2),
+        "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
         "loss_scan1_first10_mean": float(m0["loss"][:10].mean()),
         "loss_scan2_last10_mean": float(m1["loss"][-10:].mean()),
         "recon_scan1_first10_mean": float(m0["recon"][:10].mean()),
         "recon_scan2_last10_mean": float(m1["recon"][-10:].mean()),
         "learning": bool(m1["loss"][-10:].mean() < m0["loss"][:10].mean()),
     }
+    return per_chip, details
+
+
+def dipeptide_dataset():
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.mappings import newman_mapping
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=256, seed=0)
+    # newman (graph-partition) mapping, not the canonical recipe's learned
+    # cgae mapping: the mapping is a HOST-SIDE precompute that only fixes
+    # which atoms belong to which bead -- the measured jitted scan is
+    # byte-identical in shape and FLOPs either way (same n_cgs, same
+    # channel lift), so the throughput number is mapping-independent.
+    # newman keeps the bench deterministic and skips the 1500-step cgae
+    # optimization at startup.
+    mapping = newman_mapping(bonds, z.shape[0], 3, seed=0)
+    return build_dataset(
+        mapping, frames, atom_cutoff=8.5, cg_cutoff=9.5, atomic_nums=z,
+        bonds=bonds, order=2, rotate=True,
+    )
+
+
+def dipeptide_config(batch_size: int):
+    from coarsegrainingvae_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+
+    # canonical dipeptide benchmark architecture (README.md:58) at the
+    # round-3 training recipe: batch 128 + linearly-scaled LR, bf16 matmuls
+    # AND bf16 Adam moments. Accuracy at this recipe is gated by the
+    # committed full-600-epoch folds examples/results/dipeptide_fullbudget/
+    # (batch 128 / lr 3.2e-4: test RMSD 1.477 A -- the best committed fold;
+    # the batch-32 control fold in the same directory is the matched-batch
+    # accuracy control), so the bench batch is not a throughput-only
+    # inflation. Linear LR scaling around the measured-parity
+    # (batch 64, 1.6e-4) point.
+    return ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=3, n_basis=600, n_rbf=8, atom_cutoff=8.5, cg_cutoff=9.5,
+            enc_nconv=4, dec_nconv=5, activation="swish", dec_type="pseudo",
+            breaksym=True,
+        ),
+        data=DataConfig(batch_size=batch_size),
+        train=TrainConfig(lr=1.6e-4 * (batch_size / 64), beta=0.05,
+                          gamma=25.0, grad_clip=0.01,
+                          adam_moment_dtype="bfloat16"),
+    )
+
+
+def chignolin_scan(n_steps: int = 50, batch_size: int = 16):
+    """Chignolin-config scan (reference README.md:64 architecture): N=209,
+    cross decoder, enc 2 / dec 9 convs -- exercises the cross-decoder path
+    the dipeptide headline never compiles. Batch 16 = the measured TPU
+    recipe (the reference's batch 2 leaves the chip ~8x under-occupied)."""
+    from coarsegrainingvae_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from coarsegrainingvae_tpu.data.dataset import build_dataset
+    from coarsegrainingvae_tpu.data.mappings import newman_mapping
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    z, frames, bonds = synthetic_peptide("chignolin", n_frames=128, seed=0)
+    mapping = newman_mapping(bonds, z.shape[0], 6, seed=0)
+    ds = build_dataset(
+        mapping, frames, atom_cutoff=12.0, cg_cutoff=25.0, atomic_nums=z,
+        bonds=bonds, order=2, rotate=True,
+    )
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            n_cgs=6, n_basis=600, n_rbf=10, atom_cutoff=12.0, cg_cutoff=25.0,
+            enc_nconv=2, dec_nconv=9, activation="swish", dec_type="cross",
+        ),
+        data=DataConfig(batch_size=batch_size),
+        train=TrainConfig(lr=3e-4, beta=0.05, gamma=50.0, grad_clip=0.01,
+                          adam_moment_dtype="bfloat16"),
+    )
+    _, details = measure_scan(cfg, ds, batch_size, n_steps)
+    details["config"] = (
+        "chignolin n_cgs=6 n_basis=600 enc2/dec9 cross "
+        f"batch{batch_size} bf16-matmuls bf16-adam"
+    )
+    return details
+
+
+def main() -> None:
+    from coarsegrainingvae_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
+    # default = the committed c2 north-star recipe; BENCH_BATCH lets a
+    # probe measure other batch sizes without changing the contract
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    fast = os.environ.get("BENCH_FAST", "") == "1"
+
+    ds = dipeptide_dataset()
+    cfg = dipeptide_config(batch_size)
+    per_chip, headline = measure_scan(cfg, ds, batch_size, n_steps=100)
+    headline["config"] = (
+        f"dipeptide n_cgs=3 n_basis=600 enc4/dec5 pseudo batch{batch_size} "
+        "lr-scaled bf16-matmuls bf16-adam"
+    )
+    headline["pseudo_impl"] = cfg.model.pseudo_impl
+    headline["message_impl"] = cfg.model.message_impl
+    details = dict(headline)  # headline fields stay at top level
+    # back-compat alias used by earlier rounds' tooling
+    details["ms_per_step"] = headline["ms_per_step"]
+
+    if not fast:
+        if batch_size != 32:
+            _, mb32 = measure_scan(dipeptide_config(32), ds, 32, n_steps=100)
+            details["matched_b32"] = mb32
+        details["chignolin"] = chignolin_scan()
+
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 

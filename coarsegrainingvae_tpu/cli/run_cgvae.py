@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-h_bond_weight", type=float, default=1.0,
                    help="upweight X-H bonded-distance terms in the graph "
                         "loss (repo extension; 1.0 = reference behavior)")
+    p.add_argument("-zeta_warmup", type=int, default=0,
+                   help="linear steric-weight ramp over the first N steps "
+                        "(repo extension; prevents the full-weight step-0 "
+                        "expansion blowup at protein scale)")
+    p.add_argument("-eta_h", type=float, default=0.0,
+                   help="ADDITIVE bonded-distance MSE over H-touching "
+                        "graph edges (repo extension; 0 = reference loss)")
     p.add_argument("-nsplits", type=int, default=5)
     p.add_argument("-patience", type=int, default=15)
     p.add_argument("-factor", type=float, default=0.6)
@@ -151,6 +158,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
             zeta=a.zeta, steric_margin=a.steric_margin,
             h_bond_weight=a.h_bond_weight,
+            zeta_warmup=a.zeta_warmup, eta_h=a.eta_h,
             patience=a.patience, lr_factor=a.factor,
             lr_patience=a.lr_patience, min_lr=a.min_lr,
             checkpoint_every=a.checkpoint_every,

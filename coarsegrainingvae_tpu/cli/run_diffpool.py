@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="excluded-volume hinge weight (repo extension; "
                         "0 = reference loss)")
     p.add_argument("-steric_margin", type=float, default=0.3)
+    p.add_argument("-zeta_warmup", type=int, default=0,
+                   help="linear steric-weight ramp over the first N steps")
     p.add_argument("--graph_grad", action="store_true", default=False,
                    help="make gamma*graph gradient-active (the reference "
                         "only tracks it, run_diffpool.py:207-210)")
@@ -119,6 +121,7 @@ def main(argv=None):
             cfg, beta=a.beta, gamma=a.gamma, lr=a.lr,
             assign_idx=assign_idx, seed=a.seed,
             zeta=a.zeta, steric_tables=steric, graph_grad=a.graph_grad,
+            zeta_warmup=a.zeta_warmup,
         )
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(a.batch_size, len(ds_tr))))

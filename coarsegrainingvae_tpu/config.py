@@ -121,11 +121,22 @@ class TrainConfig:
     # metric's dominant failure mode at protein scale.
     zeta: float = 0.0
     steric_margin: float = 0.3
+    # linear warmup of zeta over the first N optimizer STEPS (0 = no
+    # ramp). At protein scale a full-weight steric term at step 0 sends
+    # the first Adam update down an all-pairs-expansion direction that a
+    # deep decoder amplifies into a dead run (see train/trainer.py).
+    zeta_warmup: int = 0
     # upweight X-H bonded-distance terms in the graph loss (repo
     # extension; 1.0 = reference behavior). X-H stretches are the
     # stiffest bonds physically and the dominant residual
     # all-atom-validity failure once zeta removes spurious contacts.
     h_bond_weight: float = 1.0
+    # ADDITIVE bonded-distance MSE over H-touching graph edges with its
+    # own normalization (repo extension; 0.0 = reference loss). Unlike
+    # h_bond_weight's in-mean reweighting (which dilutes the heavy-bond
+    # gradient and measured NEGATIVE), this leaves the reference graph
+    # term untouched -- see train/losses.py::vae_loss.
+    eta_h: float = 0.0
     checkpoint_every: int = 0   # 0 -> only final; N -> every N epochs
     log_every: int = 1
 

@@ -72,10 +72,14 @@ class BaselineTrainer:
         (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
             state.params, batch
         )
-        ok = jnp.isfinite(metrics["loss"])
+        # guard loss AND gradient finiteness; freeze params and moments on
+        # a skipped batch (same semantics as train/trainer.py)
+        ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates
+        )
         params = optax.apply_updates(state.params, updates)
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state

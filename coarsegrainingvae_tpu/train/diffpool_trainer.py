@@ -85,7 +85,9 @@ def diffpool_loss(
         "graph": loss_graph,
         "entropy": loss_entropy,
     }
-    if zeta != 0.0 and steric is not None:
+    from coarsegrainingvae_tpu.train.losses import steric_active
+
+    if steric_active(zeta) and steric is not None:
         from coarsegrainingvae_tpu.train.losses import steric_loss
 
         loss_steric = steric_loss(xr.reshape(-1, 3), steric[0], steric[1])
@@ -106,11 +108,13 @@ class DiffPoolTrainer:
         zeta: float = 0.0,
         steric_tables=None,
         graph_grad: bool = False,
+        zeta_warmup: int = 0,
     ):
         self.cfg = cfg
         self.beta = beta
         self.gamma = gamma
         self.zeta = zeta
+        self.zeta_warmup = int(zeta_warmup or 0)
         self.graph_grad = graph_grad
         self.steric_tables = (
             tuple(jnp.asarray(t) for t in steric_tables)
@@ -154,18 +158,29 @@ class DiffPoolTrainer:
 
     def _train_step_impl(self, state: DiffPoolTrainState, batch, rng):
         tau = self._tau(state.step)
+        # zeta_warmup: ramp the steric weight over the first N steps
+        # (same dead-run failure mode as train/trainer.py)
+        zeta = self.zeta
+        if self.zeta_warmup > 0:
+            zeta = zeta * jnp.minimum(
+                state.step.astype(jnp.float32) / self.zeta_warmup, 1.0
+            )
 
         def loss_fn(p):
             out = self._apply(p, batch, rng, tau)
             return diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma,
-                             zeta=self.zeta, steric=self.steric_tables,
+                             zeta=zeta, steric=self.steric_tables,
                              graph_grad=self.graph_grad)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        ok = jnp.isfinite(metrics["loss"])
+        # a finite loss can still carry a NaN/inf gradient -- guard both,
+        # and freeze params AND moments on a skipped batch (train/trainer.py)
+        ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates
+        )
         params = optax.apply_updates(state.params, updates)
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state

@@ -141,6 +141,14 @@ def steric_loss(
     )
 
 
+def steric_active(zeta) -> bool:
+    """Static (trace-time) gate for the excluded-volume term: False only
+    for a literal 0 weight. A TRACED zeta (the zeta_warmup ramp passes
+    `cfg.zeta * min(step/warmup, 1)` as a jnp scalar) is always active --
+    `zeta != 0.0` on a tracer would raise under jit."""
+    return not (isinstance(zeta, (int, float)) and float(zeta) == 0.0)
+
+
 def vae_loss(
     out: VAEOutput,
     g: FlatGraph,
@@ -150,10 +158,20 @@ def vae_loss(
     zeta: float = 0.0,
     steric: Optional[Tuple[Array, Array]] = None,
     h_bond_weight: float = 1.0,
+    eta_h: float = 0.0,
 ) -> Tuple[Array, Dict[str, Array]]:
     """total = recon + beta*KL + gamma*graph (utils.py:141)
-    [+ zeta*steric and h_bond_weight, repo extensions -- see
-    build_steric_tables / graph_loss]."""
+    [+ zeta*steric, h_bond_weight and eta_h, repo extensions -- see
+    build_steric_tables / graph_loss].
+
+    eta_h adds a SEPARATE bonded-distance MSE over the H-touching subset
+    of the graph edges, with its own normalization: unlike h_bond_weight
+    (which reweights edges inside ONE weighted mean and therefore dilutes
+    the heavy-bond gradient -- measured to collapse heavy validity, see
+    examples/results/steric_ab/README.md), an additive term leaves the
+    reference graph-term gradient untouched and only ADDS pressure on the
+    X-H distances that dominate the residual all-atom-validity failures.
+    Default 0.0 = reference loss surface."""
     if out.mu is not None:
         loss_kl = kl_divergence(
             out.mu, out.sigma, out.prior_mu, out.prior_sigma,
@@ -178,9 +196,20 @@ def vae_loss(
         "kl": loss_kl,
         "graph": loss_graph,
     }
-    if zeta != 0.0 and steric is not None:
+    if steric_active(zeta) and steric is not None:
         loss_steric = steric_loss(out.xyz_recon, steric[0], steric[1])
         total = total + zeta * loss_steric
         metrics["loss"] = total
         metrics["steric"] = loss_steric
+    if eta_h != 0.0:
+        is_h = (
+            (g.z[g.bonds[:, 0]] == 1) | (g.z[g.bonds[:, 1]] == 1)
+        ).astype(jnp.float32)
+        h_mask = is_h if g.bond_mask is None else (
+            is_h * g.bond_mask.astype(jnp.float32)
+        )
+        loss_h = graph_loss(out.xyz, out.xyz_recon, g.bonds, bond_mask=h_mask)
+        total = total + eta_h * loss_h
+        metrics["loss"] = total
+        metrics["h_graph"] = loss_h
     return total, metrics

@@ -115,7 +115,12 @@ class PCNTrainer:
         )
         loss = metrics["loss"]
         thresh = self.gamma * self.loss_skip_factor if self.gamma > 0 else jnp.inf
-        ok = jnp.isfinite(loss) & (loss < thresh)
+        # a finite loss can still carry a NaN/inf gradient -- guard both
+        ok = (
+            jnp.isfinite(loss)
+            & (loss < thresh)
+            & jnp.isfinite(optax.global_norm(grads))
+        )
         grads = jax.tree.map(lambda g_: jnp.where(ok, g_, jnp.zeros_like(g_)), grads)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates)

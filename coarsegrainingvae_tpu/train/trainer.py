@@ -208,19 +208,38 @@ class Trainer:
         return state
 
     # ----------------------------------------------------------------- steps
-    def _loss_fn(self, params, batch: CGBatch, rng) -> Tuple[jnp.ndarray, Dict]:
+    def _loss_fn(
+        self, params, batch: CGBatch, rng, zeta_scale=None
+    ) -> Tuple[jnp.ndarray, Dict]:
         out = self.model.apply({"params": params}, batch, rngs={"sample": rng})
         g = flatten_batch(batch)
+        zeta = getattr(self.cfg.train, "zeta", 0.0)
+        if zeta_scale is not None:
+            zeta = zeta * zeta_scale
         return vae_loss(
             out, g, self.cfg.train.beta, self.cfg.train.gamma,
-            zeta=getattr(self.cfg.train, "zeta", 0.0),
+            zeta=zeta,
             steric=self.steric_tables,
             h_bond_weight=getattr(self.cfg.train, "h_bond_weight", 1.0),
+            eta_h=getattr(self.cfg.train, "eta_h", 0.0),
         )
 
     def _train_step_impl(self, state: TrainState, batch: CGBatch, rng):
+        # zeta_warmup (steps): ramp the excluded-volume weight 0 -> zeta
+        # over the first N steps. At full steric weight the step-0 Adam
+        # update (sign-like: m/sqrt(v) has unit scale regardless of grad
+        # magnitude) follows a pure all-pairs-expansion direction that the
+        # deep decoder amplifies catastrophically (loss 271 -> 5.6e26 in
+        # one accepted step, measured); ramping from the stable zeta=0
+        # direction removes that failure mode without changing the
+        # converged objective.
+        warm = int(getattr(self.cfg.train, "zeta_warmup", 0) or 0)
+        zscale = (
+            jnp.minimum(state.step.astype(jnp.float32) / warm, 1.0)
+            if warm > 0 else None
+        )
         (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, batch, rng, zscale
         )
 
         # skip-batch guard (utils.py:145-148): zero the update instead of
@@ -230,7 +249,16 @@ class Trainer:
         # stays; it fuses into the optimizer's elementwise passes.)
         gamma = self.cfg.train.gamma
         thresh = gamma * self.cfg.train.loss_skip_factor if gamma > 0 else jnp.inf
-        ok = jnp.isfinite(loss) & (loss < thresh)
+        # guard the GRADIENT too: a loss can be finite while its gradient
+        # is NaN/inf (observed on the full-size chignolin -zeta run: one
+        # poisoned accepted step NaN'd the params and tripped the NaN
+        # abort). global_norm is the same reduction clip_by_global_norm
+        # already performs, so XLA CSEs it -- no extra HBM pass.
+        ok = (
+            jnp.isfinite(loss)
+            & (loss < thresh)
+            & jnp.isfinite(optax.global_norm(grads))
+        )
         scale = ok.astype(jnp.float32)
         # NaN-safe: select zeros rather than multiply (0 * NaN = NaN)
         grads = jax.tree.map(lambda g_: jnp.where(ok, g_, jnp.zeros_like(g_)), grads)

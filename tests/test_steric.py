@@ -229,3 +229,94 @@ def test_h_bond_weight_parity_and_effect(small_dataset):
     # weighted mean differs from unweighted unless all edges agree equally
     assert float(up_m["graph"]) != float(base_m["graph"])
     assert np.isfinite(float(up))
+
+
+def test_zeta_warmup_ramps_steric_weight(small_dataset):
+    """With zeta_warmup=N the effective steric weight at step k is
+    zeta*min(k/N, 1): step 0 must match the zeta=0 loss exactly, and the
+    late-step loss must match the unwarmed zeta loss."""
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+    from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    def mk(zeta, warmup):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+                enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+                compute_dtype="float32",
+            ),
+            data=DataConfig(batch_size=4, seed=0),
+            train=TrainConfig(nepochs=1, lr=1e-3, beta=0.05, gamma=1.0,
+                              zeta=zeta, zeta_warmup=warmup, grad_clip=0.01),
+        )
+        model = CGequiVAE(cfg=cfg.model)
+        tables = None
+        if zeta:
+            from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+            z_full, _, bonds = synthetic_peptide("dipeptide", n_frames=1, seed=7)
+            tables = build_steric_tables(z_full, bonds)
+        return Trainer(model, cfg, mesh=make_mesh(1), steric_tables=tables)
+
+    batch = small_dataset.batch(np.arange(4))
+    rng = jax.random.PRNGKey(0)
+
+    t_off = mk(0.0, 0)
+    t_full = mk(5.0, 0)
+    t_warm = mk(5.0, 4)
+    s_off = t_off.init_state(batch, seed=0)
+    s_full = t_full.init_state(batch, seed=0)
+    s_warm = t_warm.init_state(batch, seed=0)
+
+    # step 0: warmup scale = 0 -> loss equals the zeta=0 loss
+    _, m_off = t_off.train_step(s_off, batch, rng)
+    _, m_full = t_full.train_step(s_full, batch, rng)
+    s_w, m_w0 = t_warm.train_step(s_warm, batch, rng)
+    np.testing.assert_allclose(float(m_w0["loss"]), float(m_off["loss"]),
+                               rtol=1e-6)
+    assert float(m_full["loss"]) > float(m_off["loss"])  # steric adds
+
+    # advance past the ramp: identical params would give the full-zeta
+    # loss; here just pin that the traced scale reaches 1 (metrics carry
+    # the scaled steric contribution: loss - base parts == zeta*steric)
+    for i in range(1, 6):
+        s_w, m_w = t_warm.train_step(s_w, batch, jax.random.fold_in(rng, i))
+    contrib = float(m_w["loss"]) - (
+        float(m_w["recon"]) + 0.05 * float(m_w["kl"]) + 1.0 * float(m_w["graph"])
+    )
+    np.testing.assert_allclose(contrib, 5.0 * float(m_w["steric"]), rtol=1e-4)
+
+
+def test_eta_h_additive_term(small_dataset):
+    """eta_h adds a separately-normalized H-edge distance MSE: the base
+    graph term is untouched (no h_bond_weight-style dilution) and the
+    total shifts by exactly eta_h * h_graph."""
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE, flatten_batch
+    from coarsegrainingvae_tpu.train.losses import vae_loss
+
+    cfg = ModelConfig(
+        n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+        enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+        compute_dtype="float32",
+    )
+    model = CGequiVAE(cfg=cfg)
+    batch = small_dataset.batch(np.arange(4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    out = model.apply({"params": params}, batch,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    g = flatten_batch(batch)
+    base, base_m = vae_loss(out, g, 0.05, 1.0)
+    ext, ext_m = vae_loss(out, g, 0.05, 1.0, eta_h=2.0)
+    assert "h_graph" not in base_m and "h_graph" in ext_m
+    # graph term identical (the additive form does not reweight it)
+    np.testing.assert_allclose(float(ext_m["graph"]), float(base_m["graph"]))
+    np.testing.assert_allclose(
+        float(ext) - float(base), 2.0 * float(ext_m["h_graph"]), rtol=1e-5
+    )
+    # the H-edge MSE is a real, finite quantity on this H-bearing topology
+    assert np.isfinite(float(ext_m["h_graph"]))
+    assert float(ext_m["h_graph"]) > 0.0

@@ -96,6 +96,44 @@ def test_skip_guard_zeroes_update(small_dataset):
         np.testing.assert_array_equal(a, b)
 
 
+def test_skip_guard_catches_finite_loss_nan_grad(small_dataset):
+    """A finite loss whose GRADIENT is non-finite must also be skipped --
+    the hole that poisoned the full-size chignolin -zeta run: the
+    reference-style guard (utils.py:145-148) only inspects the loss, so
+    one inf-gradient step NaN'd the params and tripped the NaN abort."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    model = CGequiVAE(cfg=cfg.model)
+
+    class PoisonGradTrainer(Trainer):
+        def _loss_fn(self, params, batch, rng, zeta_scale=None):
+            loss, metrics = super()._loss_fn(params, batch, rng, zeta_scale)
+            # value 0 (finite), derivative 0.5/sqrt(0) = inf
+            s = jax.tree.leaves(params)[0].sum()
+            poison = jnp.sqrt(s - jax.lax.stop_gradient(s))
+            return loss + poison, metrics
+
+    trainer = PoisonGradTrainer(model, cfg, mesh=make_mesh(1))
+    batch = small_dataset.batch(np.arange(8))
+    state = trainer.init_state(batch, seed=0)
+    params_before = jax.device_get(state.params)
+    moments_before = jax.device_get(state.opt_state)
+
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))  # the loss itself was fine
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree.leaves(params_before), jax.tree.leaves(jax.device_get(state.params))
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(moments_before),
+        jax.tree.leaves(jax.device_get(state.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lowess_smooth_reduces_noise():
     rng = np.random.default_rng(0)
     x = np.linspace(0, 1, 60)

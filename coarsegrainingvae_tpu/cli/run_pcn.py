@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ramp the graph/dihedral loss weights 0->1 over "
                         "this many epochs (recon-first curriculum); 0 = "
                         "full loss from step 0 (reference behavior)")
+    p.add_argument("-zeta", type=float, default=0.0,
+                   help="excluded-volume hinge weight (repo extension, "
+                        "losses.steric_loss_batched; 0 = reference loss)")
+    p.add_argument("-steric_margin", type=float, default=0.3)
+    p.add_argument("-zeta_warmup", type=int, default=0,
+                   help="linear steric-weight ramp over the first N steps")
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-n_dump", type=int, default=4)
     p.add_argument("--dec_type", type=str, default="cross",
@@ -125,7 +131,9 @@ def main(argv=None):
     model = PCN(cfg=cfg)
     trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
                          grad_clip=a.grad_clip, seed=a.seed,
-                         aux_warmup=a.aux_warmup)
+                         aux_warmup=a.aux_warmup, zeta=a.zeta,
+                         steric_margin=a.steric_margin,
+                         zeta_warmup=a.zeta_warmup)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)
 

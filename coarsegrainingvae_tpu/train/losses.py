@@ -141,6 +141,52 @@ def steric_loss(
     )
 
 
+def steric_loss_batched(
+    xyz_recon: Array,
+    z: Array,
+    bonds: Array,
+    bond_mask: Array,
+    scale: float = 1.3,
+    margin: float = 0.3,
+) -> Array:
+    """Excluded-volume hinge for MULTI-topology padded batches (PCN,
+    data/sidechain.py): every sample carries its own atoms and covalent
+    bond list, so the (N, N) tables are built inside the step from the
+    batch arrays instead of host-side (`build_steric_tables` covers the
+    single-topology regime).
+
+    xyz_recon: (B*N, 3) flattened reconstruction; z: (B, N) atomic
+    numbers (0 = padding); bonds: (B, Eb, 2) LOCAL covalent pairs;
+    bond_mask: (B, Eb). Same semantics as `steric_loss`: squared hinge on
+    nonbonded real-atom pair distances below scale*(r_i+r_j) + margin.
+    Dense (B, N, N) pass -- at PCN scale (N <= ~2.5k) this is one fused
+    elementwise+reduce next to the message-passing matmuls.
+    """
+    b, n = z.shape
+    xyz = xyz_recon.reshape(b, n, 3)
+    radii = jnp.asarray(
+        [1.5] + [COVALENT_RADII_TABLE.get(k, 1.5) for k in range(1, 120)],
+        xyz.dtype,
+    )
+    r = radii[jnp.clip(z, 0, 119)]
+    thresh = (r[:, :, None] + r[:, None, :]) * scale + margin
+    real = z > 0
+    mask = real[:, :, None] & real[:, None, :]
+    mask = mask & ~jnp.eye(n, dtype=bool)[None]
+    # padded bond rows route to (0, 0) -- the diagonal, already excluded
+    i = jnp.where(bond_mask, bonds[..., 0], 0)
+    j = jnp.where(bond_mask, bonds[..., 1], 0)
+    bi = jnp.arange(b)[:, None]
+    mask = mask.at[bi, i, j].set(False)
+    mask = mask.at[bi, j, i].set(False)
+    d = jnp.sqrt(
+        jnp.sum((xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1) + EPS
+    )
+    m = mask.astype(d.dtype)
+    viol = jnp.maximum(thresh - d, 0.0) * m
+    return jnp.sum(viol**2) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def steric_active(zeta) -> bool:
     """Static (trace-time) gate for the excluded-volume term: False only
     for a literal 0 weight. A TRACED zeta (the zeta_warmup ramp passes

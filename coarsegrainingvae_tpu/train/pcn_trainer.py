@@ -35,7 +35,8 @@ class PCNTrainState:
 
 
 def pcn_loss(
-    out, g, quads, quad_mask, gamma: float, kappa: float, aux_scale=1.0
+    out, g, quads, quad_mask, gamma: float, kappa: float, aux_scale=1.0,
+    zeta=0.0, steric_batch=None, steric_margin: float = 0.3,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """aux_scale ramps the graph/dihedral terms in (0 -> 1). Measured on
     50-60-residue synthetics: training against the full loss from step 0
@@ -51,12 +52,28 @@ def pcn_loss(
     m = quad_mask.astype(gen.dtype)
     loss_dihe = jnp.sum(((gen - dat) ** 2) * m) / jnp.maximum(jnp.sum(m), 1.0)
     total = loss_recon + aux_scale * (gamma * loss_graph + kappa * loss_dihe)
-    return total, {
+    metrics = {
         "loss": total,
         "recon": loss_recon,
         "graph": loss_graph,
         "dihe": loss_dihe,
     }
+    # excluded-volume hinge (repo extension, zeta=0 default = reference
+    # loss): PCN batches are multi-topology, so the tables come from the
+    # batch arrays (losses.steric_loss_batched), not a host precompute
+    from coarsegrainingvae_tpu.train.losses import (
+        steric_active,
+        steric_loss_batched,
+    )
+
+    if steric_active(zeta) and steric_batch is not None:
+        z_b, bonds_b, bond_mask_b = steric_batch
+        loss_steric = steric_loss_batched(
+            out.xyz_recon, z_b, bonds_b, bond_mask_b, margin=steric_margin
+        )
+        total = total + zeta * loss_steric
+        metrics = dict(metrics, loss=total, steric=loss_steric)
+    return total, metrics
 
 
 class PCNTrainer:
@@ -70,6 +87,9 @@ class PCNTrainer:
         loss_skip_factor: float = 300.0,  # pcn_utils.py:197-200
         seed: int = 123,
         aux_warmup: int = 0,
+        zeta: float = 0.0,
+        steric_margin: float = 0.3,
+        zeta_warmup: int = 0,
     ):
         self.model = model
         self.gamma = gamma
@@ -80,6 +100,11 @@ class PCNTrainer:
         # epochs over which the graph/dihedral weights ramp 0 -> 1
         # (pcn_loss docstring); 0 = full loss from step 0
         self.aux_warmup = aux_warmup
+        # excluded-volume hinge (repo extension, train/losses.py); the
+        # warmup counts optimizer STEPS like the flagship trainer's
+        self.zeta = zeta
+        self.steric_margin = steric_margin
+        self.zeta_warmup = int(zeta_warmup or 0)
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip), optax.scale_by_adam()
         )
@@ -99,19 +124,28 @@ class PCNTrainer:
         )
 
     def _loss(self, params, batch: CGBatch, ca_mask, quads, quad_mask,
-              aux_scale=1.0):
+              aux_scale=1.0, zeta_scale=None):
         out = self.model.apply({"params": params}, batch, ca_mask)
         g = flatten_batch(batch)
         flat_quads = flatten_ids(quads, batch.n_atoms)  # (B*Q, 4)
+        zeta = self.zeta if zeta_scale is None else self.zeta * zeta_scale
+        steric_batch = (
+            (batch.z, batch.bonds, batch.bond_mask) if self.zeta else None
+        )
         return pcn_loss(
             out, g, flat_quads, quad_mask.reshape(-1), self.gamma, self.kappa,
-            aux_scale,
+            aux_scale, zeta=zeta, steric_batch=steric_batch,
+            steric_margin=self.steric_margin,
         )
 
     def _train_step_impl(self, state, batch, ca_mask, quads, quad_mask,
                          aux_scale):
+        zscale = (
+            jnp.minimum(state.step.astype(jnp.float32) / self.zeta_warmup, 1.0)
+            if self.zeta_warmup > 0 else None
+        )
         (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, batch, ca_mask, quads, quad_mask, aux_scale
+            state.params, batch, ca_mask, quads, quad_mask, aux_scale, zscale
         )
         loss = metrics["loss"]
         thresh = self.gamma * self.loss_skip_factor if self.gamma > 0 else jnp.inf

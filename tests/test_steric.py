@@ -320,3 +320,81 @@ def test_eta_h_additive_term(small_dataset):
     # the H-edge MSE is a real, finite quantity on this H-bearing topology
     assert np.isfinite(float(ext_m["h_graph"]))
     assert float(ext_m["h_graph"]) > 0.0
+
+
+def test_steric_loss_batched_matches_host_tables():
+    """The in-step batched tables (multi-topology PCN regime) must agree
+    with build_steric_tables per sample, including padding atoms and
+    padded bond rows."""
+    from coarsegrainingvae_tpu.train.losses import (
+        steric_loss,
+        steric_loss_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, eb = 3, 12, 8
+    z = rng.integers(1, 9, (b, n)).astype(np.int32)
+    z[1, 9:] = 0  # one sample padded shorter
+    z[2, 6:] = 0
+    xyz = rng.normal(size=(b, n, 3)).astype(np.float32) * 1.5
+    bonds = np.zeros((b, eb, 2), np.int32)
+    bond_mask = np.zeros((b, eb), bool)
+    for s in range(b):
+        n_real = int((z[s] > 0).sum())
+        k = min(eb, n_real - 1)
+        for e in range(k):
+            bonds[s, e] = (e, e + 1)
+            bond_mask[s, e] = True
+
+    got = float(steric_loss_batched(
+        jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(z), jnp.asarray(bonds),
+        jnp.asarray(bond_mask), margin=0.3,
+    ))
+
+    # reference: per-sample host tables, pooled over all real pairs
+    num = 0.0
+    den = 0.0
+    for s in range(b):
+        thresh, mask = build_steric_tables(
+            z[s], bonds[s][bond_mask[s]], margin=0.3
+        )
+        per = steric_loss(
+            jnp.asarray(xyz[s].reshape(-1, 3)), jnp.asarray(thresh),
+            jnp.asarray(mask),
+        )
+        num += float(per) * mask.sum()
+        den += mask.sum()
+    np.testing.assert_allclose(got, num / den, rtol=1e-5)
+
+
+def test_pcn_zeta_parity_and_training():
+    """run_pcn -zeta 0 keeps the reference loss surface; zeta>0 adds the
+    steric metric and the trainer still steps finitely."""
+    from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+    from coarsegrainingvae_tpu.models.cgvae import PCN
+    from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
+
+    items = [synthetic_protein(6, seed=s) for s in range(4)]
+    ds = build_pcn_dataset(items, cg_cutoff=10.0)
+    cfg = ModelConfig(n_basis=16, n_rbf=4, atom_cutoff=10.0, dec_nconv=1,
+                      dec_type="cross")
+    model = PCN(cfg=cfg)
+
+    batch, ca_mask, quads, quad_mask = next(ds.iter_batches(4))
+    base = PCNTrainer(model, gamma=1.0, kappa=0.5, lr=1e-3, grad_clip=0.1)
+    ext = PCNTrainer(model, gamma=1.0, kappa=0.5, lr=1e-3, grad_clip=0.1,
+                     zeta=10.0, zeta_warmup=2)
+    s0 = base.init_state(batch, ca_mask)
+    s1 = ext.init_state(batch, ca_mask)
+    ca = jnp.asarray(ca_mask)
+    _, m0 = base._train_step(s0, batch, ca, quads, quad_mask, 1.0)
+    s1b, m1 = ext._train_step(s1, batch, ca, quads, quad_mask, 1.0)
+    # step 0 of the warmup: steric weight 0 -> identical total loss
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
+    assert "steric" in m1 and np.isfinite(float(m1["steric"]))
+    # past the ramp the steric term contributes
+    for i in range(3):
+        s1b, m1 = ext._train_step(s1b, batch, ca, quads, quad_mask, 1.0)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["loss"]) >= float(m1["recon"])

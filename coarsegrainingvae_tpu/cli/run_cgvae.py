@@ -340,6 +340,17 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
         }
         cv_logger.log(row)
         rows.append(row)
+    if len(rows) > 1:
+        # multi-fold runs also get the plots.py:21-44-style rollup
+        # (mean/std per metric) as a committed-friendly json artifact
+        from coarsegrainingvae_tpu.eval.analysis import get_cv_stats
+
+        with open(os.path.join(cfg.logdir, "cv_stats_summary.json"), "w") as f:
+            json.dump(
+                {k: {"mean": m, "std": s}
+                 for k, (m, s) in get_cv_stats(cfg.logdir).items()},
+                f, indent=2,
+            )
     return rows
 
 

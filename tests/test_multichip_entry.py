@@ -24,6 +24,9 @@ def _driver_like_env():
     )
     env.pop("_CGVAE_DRYRUN_SUBPROCESS", None)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cgvae_tpu_xla_cache")
+    # the contract under test is mesh self-provisioning; skip the
+    # flagship-shape steps (minutes of CPU compile the DRIVER still runs)
+    env["CGVAE_DRYRUN_FLAGSHIP"] = "0"
     return env
 
 

@@ -92,3 +92,46 @@ def test_halo_parity_spike_scale():
     """The 10k-atom spike smoke config (DESIGN.md): 8-way atom sharding
     reproduces the single-device message pass."""
     _run_parity(n=10_000, n_shards=8, cutoff=2.0, feat_dim=8, seed=7)
+
+
+def test_halo_gradient_parity():
+    """Gradients flow through the halo exchange (ppermute transposes to
+    the reverse permutation) identically to the unsharded pass -- the
+    property a TRAINING step over atom shards relies on."""
+    n, n_shards, cutoff, feat_dim = 256, 4, 3.0, 8
+    xyz, edges = _cloud(n, cutoff, seed=5)
+    rng = np.random.default_rng(6)
+    s = rng.normal(size=(n, feat_dim)).astype(np.float32)
+    v = rng.normal(size=(n, 3, feat_dim)).astype(np.float32)
+
+    module = EquiMessageBlock(
+        feat_dim=feat_dim, activation="swish", n_rbf=6, cutoff=cutoff,
+        edges_sorted=True,
+    )
+    r_ij = jnp.asarray(xyz[edges[:, 1]] - xyz[edges[:, 0]])
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.asarray(s), jnp.asarray(v), r_ij,
+        jnp.asarray(edges), None,
+    )["params"]
+    plan = plan_halo(xyz, edges, n_shards, halo=n // n_shards // 2)
+    mesh = make_atom_mesh(n_shards)
+
+    def ref_loss(p, s_in):
+        ds, dv = _reference(module, p, s_in, v, xyz, edges)
+        return jnp.sum(ds**2) + jnp.sum(dv**2)
+
+    def halo_loss(p, s_in):
+        ds, dv = halo_message(
+            module, p, s_in[plan.order], jnp.asarray(v[plan.order]),
+            jnp.asarray(xyz[plan.order]), plan, mesh,
+        )
+        return jnp.sum(ds**2) + jnp.sum(dv**2)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(params, jnp.asarray(s))
+    g_halo = jax.grad(halo_loss, argnums=(0, 1))(params, jnp.asarray(s))
+    for a, b in zip(jax.tree.leaves(g_ref[0]), jax.tree.leaves(g_halo[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_ref[1]), np.asarray(g_halo[1]), rtol=5e-4, atol=5e-5
+    )

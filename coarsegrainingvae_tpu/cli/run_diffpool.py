@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--graph_grad", action="store_true", default=False,
                    help="make gamma*graph gradient-active (the reference "
                         "only tracks it, run_diffpool.py:207-210)")
+    p.add_argument("-graph_warmup", type=int, default=0,
+                   help="with --graph_grad: linear ramp of the "
+                        "gradient-active graph weight over the first N "
+                        "steps (recon-first curriculum; the tracked loss "
+                        "keeps the reference's full gamma*graph)")
     p.add_argument("-tau_0", type=float, default=2.0)
     p.add_argument("-tau_min", type=float, default=0.3)
     p.add_argument("-tau_rate", type=float, default=0.004)
@@ -121,7 +126,7 @@ def main(argv=None):
             cfg, beta=a.beta, gamma=a.gamma, lr=a.lr,
             assign_idx=assign_idx, seed=a.seed,
             zeta=a.zeta, steric_tables=steric, graph_grad=a.graph_grad,
-            zeta_warmup=a.zeta_warmup,
+            zeta_warmup=a.zeta_warmup, graph_warmup=a.graph_warmup,
         )
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(a.batch_size, len(ds_tr))))

@@ -44,6 +44,7 @@ class DiffPoolTrainState:
 def diffpool_loss(
     out: DiffPoolOutput, bonds: Array, beta: float, gamma: float,
     zeta: float = 0.0, steric=None, graph_grad: bool = False,
+    gamma_grad=None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Reference loss (run_diffpool.py:186-210): the OPTIMIZED total is
     reg + recon + beta*KL (line 207); gamma*graph enters only the tracked
@@ -75,7 +76,10 @@ def diffpool_loss(
 
     total = loss_reg + loss_recon + beta * loss_kl
     if graph_grad:
-        total = total + gamma * loss_graph
+        # gamma_grad (possibly a warmup-ramped tracer) only affects the
+        # OPTIMIZED total; the tracked 'loss' keeps the reference's
+        # gamma*graph so the plateau controller sees the same quantity
+        total = total + (gamma if gamma_grad is None else gamma_grad) * loss_graph
     tracked = loss_recon + gamma * loss_graph + beta * loss_kl
     metrics = {
         "loss": tracked,
@@ -109,12 +113,18 @@ class DiffPoolTrainer:
         steric_tables=None,
         graph_grad: bool = False,
         zeta_warmup: int = 0,
+        graph_warmup: int = 0,
     ):
         self.cfg = cfg
         self.beta = beta
         self.gamma = gamma
         self.zeta = zeta
         self.zeta_warmup = int(zeta_warmup or 0)
+        # ramp the gradient-ACTIVE graph weight over the first N steps
+        # (recon-first curriculum -- the same measured lesson as PCN's
+        # aux_warmup: full auxiliary pressure from step 0 stalls recon,
+        # observed on the round-4 graph_grad+zeta diffpool retrain)
+        self.graph_warmup = int(graph_warmup or 0)
         self.graph_grad = graph_grad
         self.steric_tables = (
             tuple(jnp.asarray(t) for t in steric_tables)
@@ -165,12 +175,17 @@ class DiffPoolTrainer:
             zeta = zeta * jnp.minimum(
                 state.step.astype(jnp.float32) / self.zeta_warmup, 1.0
             )
+        gamma_grad = None
+        if self.graph_warmup > 0:
+            gamma_grad = self.gamma * jnp.minimum(
+                state.step.astype(jnp.float32) / self.graph_warmup, 1.0
+            )
 
         def loss_fn(p):
             out = self._apply(p, batch, rng, tau)
             return diffpool_loss(out, jnp.asarray(batch.bonds), self.beta, self.gamma,
                              zeta=zeta, steric=self.steric_tables,
-                             graph_grad=self.graph_grad)
+                             graph_grad=self.graph_grad, gamma_grad=gamma_grad)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         # a finite loss can still carry a NaN/inf gradient -- guard both,

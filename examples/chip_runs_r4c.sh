@@ -16,11 +16,11 @@ timeout 2400 python -m coarsegrainingvae_tpu.cli.run_pcn -ndata 400 -min_res 50 
   -n_basis 256 -dec_nconv 4 -lr 3e-3 -grad_clip 1.0 -gamma 5.0 -kappa 1.0 -aux_warmup 60 \
   -batch_size 8 -nepochs 300 -patience 300 -lr_patience 30 -lr_factor 0.5 -min_lr 1e-5 \
   -cutoff 10.0 -n_dump 2 --dec_type pseudo -logdir /tmp/r4c_pcn_p4
-echo "=== [3/4] DiffPool v5: graph_grad + zeta 50 + zeta_warmup 300 ==="
+echo "=== [3/4] DiffPool v5: graph_grad + warmups (v4 showed step-0 graph pressure stalls recon) ==="
 timeout 3400 python -m coarsegrainingvae_tpu.cli.run_diffpool -ndata 2000 -n_cgs 8 \
   -nepochs 600 -batch_size 32 -lr 3e-4 -beta 0.02 -gamma 25.0 -n_pretrain 20 -tau_min 0.1 \
   -num_features 512 -nsplits 2 -patience 600 -lr_factor 0.6 \
-  --sample_hard --graph_grad -zeta 50.0 -steric_margin 0.3 -zeta_warmup 300 \
+  --sample_hard --graph_grad -graph_warmup 5000 -zeta 50.0 -steric_margin 0.3 -zeta_warmup 5000 \
   -logdir /tmp/r4c_diffpool_v5
 echo "=== [4/4] bench probe: batch 192 ==="
 BENCH_BATCH=192 BENCH_FAST=1 timeout 1200 python bench.py

@@ -288,6 +288,58 @@ def test_zeta_warmup_ramps_steric_weight(small_dataset):
     np.testing.assert_allclose(contrib, 5.0 * float(m_w["steric"]), rtol=1e-4)
 
 
+def test_diffpool_graph_warmup_recon_first():
+    """With --graph_grad -graph_warmup N, the step-0 OPTIMIZED gradient
+    excludes the graph term (update == graph_grad-off update) while the
+    tracked 'loss' metric still carries the reference's full gamma*graph
+    (run_diffpool.py:207-210 tracking semantics)."""
+    from coarsegrainingvae_tpu.config import DiffPoolConfig
+    from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.train.diffpool_trainer import DiffPoolTrainer
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=16, seed=3)
+    ds = build_diffpool_dataset(frames, z, bonds)
+    cfg = DiffPoolConfig(
+        n_atoms=z.shape[0], n_cgs=3, feat_dim=32, n_rbf=4,
+        atom_cutoff=8.0, cg_cutoff=30.0, pool_nconv=1, enc_nconv=1,
+        dec_nconv=1, tau_0=2.0, tau_min=0.3, tau_rate=0.004,
+        trainable_map=True,
+    )
+    batch = ds.batch(np.arange(8))
+    rng = jax.random.PRNGKey(0)
+
+    t_off = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=11)
+    t_on = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=11,
+                           graph_grad=True)
+    t_warm = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=11,
+                             graph_grad=True, graph_warmup=100)
+
+    s_off, m_off = t_off.train_step(t_off.init_state(batch), batch, rng)
+    s_on, m_on = t_on.train_step(t_on.init_state(batch), batch, rng)
+    s_w, m_w = t_warm.train_step(t_warm.init_state(batch), batch, rng)
+
+    # tracked metric identical across all three (same init + rng)
+    np.testing.assert_allclose(float(m_w["loss"]), float(m_off["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_w["loss"]), float(m_on["loss"]),
+                               rtol=1e-6)
+
+    # step-0 ramp scale = 0: warm update == graph_grad-off update, and it
+    # must differ from the full graph_grad update
+    leaves_w = jax.tree_util.tree_leaves(s_w.params)
+    leaves_off = jax.tree_util.tree_leaves(s_off.params)
+    leaves_on = jax.tree_util.tree_leaves(s_on.params)
+    # (atol 2e-6: the warm path computes total + 0*graph, one extra fma
+    # of rounding vs the off path)
+    for a, b in zip(leaves_w, leaves_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        for a, b in zip(leaves_w, leaves_on)
+    )
+
+
 def test_eta_h_additive_term(small_dataset):
     """eta_h adds a separately-normalized H-edge distance MSE: the base
     graph term is untouched (no h_bond_weight-style dilution) and the

@@ -181,3 +181,129 @@ def halo_message(
 
 def make_atom_mesh(n_devices: int, axis: str = "atoms") -> Mesh:
     return Mesh(np.array(jax.devices()[:n_devices]), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer atom-sharded encoder stack
+#
+# One halo exchange per message layer (features change between layers, so
+# halos must be refreshed); the PaiNN node update is per-node and runs on
+# local rows only. ICI traffic per step: O(n_conv * H * F) per device.
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn  # noqa: E402  (after the lightweight helpers)
+
+from coarsegrainingvae_tpu.models.conv import (  # noqa: E402
+    EquiMessageBlock,
+    UpdateBlock,
+)
+
+
+class EquiStack(nn.Module):
+    """Unsharded n_conv x (message + update) residual PaiNN stack.
+
+    The single-device mirror of HaloEquiStack: identical submodule
+    creation order, hence an IDENTICAL parameter tree -- init this one
+    (no mesh axis needed) and apply either. Functional form matches the
+    reference encoder's conv loop (cgvae.py:194-331) minus the CG
+    contraction, which stays frame-global (it pools onto n_cgs beads,
+    tiny -- a psum_scatter concern only far beyond 100k atoms).
+    """
+
+    n_conv: int
+    feat_dim: int
+    n_rbf: int
+    activation: str
+    cutoff: float
+
+    @nn.compact
+    def __call__(self, s, v, xyz, edges, edge_mask=None):
+        r_ij = xyz[edges[:, 1]] - xyz[edges[:, 0]]
+        for _ in range(self.n_conv):
+            ds, dv = EquiMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, edges_sorted=True,
+            )(s, v, r_ij, edges, edge_mask)
+            s = s + ds
+            v = v + dv
+            us, uv = UpdateBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+            )(s, v)
+            s = s + us
+            v = v + uv
+        return s, v
+
+
+class HaloEquiStack(nn.Module):
+    """Atom-sharded body of EquiStack: runs INSIDE shard_map on one
+    shard's local block, ppermute-refreshing the halos before each
+    message layer. Submodule creation order matches EquiStack exactly,
+    so EquiStack.init params apply verbatim."""
+
+    n_conv: int
+    feat_dim: int
+    n_rbf: int
+    activation: str
+    cutoff: float
+    halo: int
+    n_shards: int
+    axis: str = "atoms"
+
+    @nn.compact
+    def __call__(self, s, v, xyz, edges, edge_mask):
+        h, p = self.halo, s.shape[0]
+        xyz_ext = _exchange(xyz, h, self.n_shards, self.axis)
+        r_ij = xyz_ext[edges[:, 1]] - xyz_ext[edges[:, 0]]
+        for _ in range(self.n_conv):
+            s_ext = _exchange(s, h, self.n_shards, self.axis)
+            v_ext = _exchange(v, h, self.n_shards, self.axis)
+            ds, dv = EquiMessageBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+                n_rbf=self.n_rbf, cutoff=self.cutoff, edges_sorted=True,
+            )(s_ext, v_ext, r_ij, edges, edge_mask)
+            s = s + ds[h : h + p]
+            v = v + dv[h : h + p]
+            us, uv = UpdateBlock(
+                feat_dim=self.feat_dim, activation=self.activation,
+            )(s, v)
+            s = s + us
+            v = v + uv
+        return s, v
+
+
+def halo_stack_apply(
+    stack_kwargs: dict,
+    params,
+    s: jnp.ndarray,      # (N, F)     sharded-order scalar features
+    v: jnp.ndarray,      # (N, 3, F)  sharded-order vector features
+    xyz: jnp.ndarray,    # (N, 3)     sharded-order coordinates
+    plan: HaloPlan,
+    mesh: Mesh,
+    axis: str = "atoms",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the n_conv-layer stack atom-sharded over `mesh`.
+
+    stack_kwargs: the EquiStack field dict (n_conv/feat_dim/n_rbf/
+    activation/cutoff); params from EquiStack.init on the full graph
+    (or any graph with the same shapes -- parameters are shape-only).
+    Inputs in plan-sharded order; returns (s, v) in the same order.
+    """
+    module = HaloEquiStack(
+        **stack_kwargs, halo=plan.halo, n_shards=plan.n_shards, axis=axis
+    )
+    edges = jnp.asarray(plan.edges)
+    emask = jnp.asarray(plan.edge_mask)
+
+    def run(prm, s_blk, v_blk, xyz_blk, e_blk, m_blk):
+        return module.apply(
+            {"params": prm}, s_blk, v_blk, xyz_blk, e_blk[0], m_blk[0]
+        )
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return sharded(params, s, v, xyz, edges, emask)

@@ -94,6 +94,92 @@ def test_halo_parity_spike_scale():
     _run_parity(n=10_000, n_shards=8, cutoff=2.0, feat_dim=8, seed=7)
 
 
+def test_halo_stack_parity_multilayer():
+    """3-layer (message+update) stack: per-layer halo refresh reproduces
+    the unsharded EquiStack exactly -- the property that lets a full
+    encoder run atom-sharded."""
+    from coarsegrainingvae_tpu.parallel.halo import (
+        EquiStack,
+        halo_stack_apply,
+    )
+
+    n, n_shards, cutoff, feat_dim = 512, 4, 2.5, 8
+    xyz, edges = _cloud(n, cutoff, seed=11)
+    rng = np.random.default_rng(12)
+    s = rng.normal(size=(n, feat_dim)).astype(np.float32)
+    v = rng.normal(size=(n, 3, feat_dim)).astype(np.float32)
+
+    kw = dict(n_conv=3, feat_dim=feat_dim, n_rbf=6, activation="swish",
+              cutoff=cutoff)
+    stack = EquiStack(**kw)
+    params = stack.init(
+        jax.random.PRNGKey(0), jnp.asarray(s), jnp.asarray(v),
+        jnp.asarray(xyz), jnp.asarray(edges), None,
+    )["params"]
+    s_ref, v_ref = stack.apply(
+        {"params": params}, jnp.asarray(s), jnp.asarray(v),
+        jnp.asarray(xyz), jnp.asarray(edges), None,
+    )
+
+    plan = plan_halo(xyz, edges, n_shards, halo=n // n_shards // 2)
+    mesh = make_atom_mesh(n_shards)
+    s_h, v_h = halo_stack_apply(
+        kw, params,
+        jnp.asarray(s[plan.order]), jnp.asarray(v[plan.order]),
+        jnp.asarray(xyz[plan.order]), plan, mesh,
+    )
+    s_h = np.asarray(jax.device_get(s_h))[plan.inv_order]
+    v_h = np.asarray(jax.device_get(v_h))[plan.inv_order]
+    np.testing.assert_allclose(s_h, np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(v_h, np.asarray(v_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_halo_stack_gradient_parity():
+    """Training-path VJP of the multi-layer sharded stack matches the
+    unsharded stack (params + input grads)."""
+    from coarsegrainingvae_tpu.parallel.halo import (
+        EquiStack,
+        halo_stack_apply,
+    )
+
+    n, n_shards, cutoff, feat_dim = 256, 4, 3.0, 8
+    xyz, edges = _cloud(n, cutoff, seed=13)
+    rng = np.random.default_rng(14)
+    s = rng.normal(size=(n, feat_dim)).astype(np.float32)
+    v = rng.normal(size=(n, 3, feat_dim)).astype(np.float32)
+
+    kw = dict(n_conv=2, feat_dim=feat_dim, n_rbf=6, activation="swish",
+              cutoff=cutoff)
+    stack = EquiStack(**kw)
+    params = stack.init(
+        jax.random.PRNGKey(0), jnp.asarray(s), jnp.asarray(v),
+        jnp.asarray(xyz), jnp.asarray(edges), None,
+    )["params"]
+    plan = plan_halo(xyz, edges, n_shards, halo=n // n_shards // 2)
+    mesh = make_atom_mesh(n_shards)
+
+    def ref_loss(p):
+        so, vo = stack.apply(
+            {"params": p}, jnp.asarray(s), jnp.asarray(v),
+            jnp.asarray(xyz), jnp.asarray(edges), None,
+        )
+        return jnp.sum(so**2) + jnp.sum(vo**2)
+
+    def halo_loss(p):
+        so, vo = halo_stack_apply(
+            kw, p,
+            jnp.asarray(s[plan.order]), jnp.asarray(v[plan.order]),
+            jnp.asarray(xyz[plan.order]), plan, mesh,
+        )
+        return jnp.sum(so**2) + jnp.sum(vo**2)
+
+    g_ref = jax.grad(ref_loss)(params)
+    g_halo = jax.grad(halo_loss)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_halo_gradient_parity():
     """Gradients flow through the halo exchange (ppermute transposes to
     the reverse permutation) identically to the unsharded pass -- the

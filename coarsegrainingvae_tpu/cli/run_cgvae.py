@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse", action="store_true", default=False,
                    help="use the segment-sum formulation instead of the "
                         "dense-regime flagship (DESIGN.md)")
+    p.add_argument("--degree_norm", action="store_true", default=False,
+                   help="rsqrt(degree) message scaling for high-degree "
+                        "graphs (spike-protein scale; the reference's "
+                        "unnormalized sums overflow at degree ~90)")
     return p
 
 
@@ -146,6 +150,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             activation=a.activation, dec_type=dec_type,
             breaksym=(a.n_cgs == 3),  # run_ala.py:192-197
             det=a.det, sparse=getattr(a, "sparse", False),
+            degree_norm=getattr(a, "degree_norm", False),
             message_impl=a.message_impl, pseudo_impl=a.pseudo_impl,
         ),
         data=DataConfig(

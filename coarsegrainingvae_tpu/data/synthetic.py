@@ -44,6 +44,15 @@ _PRESETS = {
     "pentapeptide": dict(n_heavy=40, n_frames_default=10000),
     "chignolin": dict(n_heavy=77, n_frames_default=5000,
                       ou_kappa=0.15, hop_scale=0.25, relax_margin=1.30),
+    # spike-protein scale (reference datasets.py:24-26 'covid', the DESRES
+    # SARS-CoV-2 spike trajectory; README.md:82): ~10k atoms.
+    # rotatable_stride=4 leaves ~1 torsion per 4 heavy bonds -- rigid
+    # segments between hinges, like secondary structure -- which keeps the
+    # host-side conformer generation tractable at this size (per-frame
+    # cost scales with n_rotatable * N).
+    "covid": dict(n_heavy=3800, n_frames_default=240,
+                  ou_kappa=0.15, hop_scale=0.25, relax_margin=1.30,
+                  rotatable_stride=4),
 }
 
 _BOND_CC = 1.52
@@ -135,13 +144,26 @@ def graph_violations(
     the covalent-cutoff rule (reference scripts/sampling.py:158-194).
     band > 1 demands a safety margin on both sides of the cutoff."""
     bonded, cutoff = _bond_masks(z, bonds)
-    x = np.asarray(frames, np.float64)
-    d = np.sqrt(((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1))
-    np.einsum("fii->fi", d)[:] = 1e9
-    nb_bad = (d < cutoff[None] * band) & ~bonded
+    x_all = np.asarray(frames, np.float64)
+    f_total, n = x_all.shape[:2]
     bi, bj = bonds[:, 0], bonds[:, 1]
-    bond_bad = d[:, bi, bj] > cutoff[bi, bj] / band
-    return nb_bad.sum((1, 2)) // 2 + bond_bad.sum(1)
+    out = np.empty(f_total, np.int64)
+    # frame-chunked with a Gram-matrix distance: at spike scale (10k atoms)
+    # the naive (F, N, N, 3) diff tensor is terabytes; d^2 = |x|^2 + |x|^2^T
+    # - 2 x x^T keeps the transient at one (chunk, N, N) matrix
+    chunk = max(1, (1 << 27) // max(n * n, 1))
+    for s in range(0, f_total, chunk):
+        x = x_all[s : s + chunk]
+        sq = (x**2).sum(-1)
+        d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * np.einsum(
+            "fnd,fmd->fnm", x, x
+        )
+        d = np.sqrt(np.maximum(d2, 0.0))
+        np.einsum("fii->fi", d)[:] = 1e9
+        nb_bad = (d < cutoff[None] * band) & ~bonded
+        bond_bad = d[:, bi, bj] > cutoff[bi, bj] / band
+        out[s : s + chunk] = nb_bad.sum((1, 2)) // 2 + bond_bad.sum(1)
+    return out
 
 
 def relax_frames(
@@ -244,6 +266,9 @@ def synthetic_peptide(
         raise KeyError(f"unknown synthetic preset {name!r}; have {sorted(_PRESETS)}")
     rng = np.random.default_rng(seed)
     z, base, bonds, rotatable = _base_geometry(_PRESETS[name]["n_heavy"], rng)
+    stride = int(_PRESETS[name].get("rotatable_stride", 1))
+    if stride > 1:
+        rotatable = rotatable[::stride]
     n_atoms = base.shape[0]
 
     # relax the base conformer first: its bond lengths become the rest

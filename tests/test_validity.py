@@ -177,3 +177,34 @@ def test_ou_dynamics_bound_conformational_drift():
     assert median_nn(fr_ou) < median_nn(fr_free), (
         median_nn(fr_ou), median_nn(fr_free)
     )
+
+
+def test_rotatable_stride_and_chunked_violations():
+    """The spike-scale ('covid') preset machinery at test scale:
+    rotatable_stride thins the torsion set (rigid segments between
+    hinges) while every frame stays bond-graph exact, and the
+    frame-chunked Gram-matrix graph_violations matches the per-frame
+    computation bit-for-bit on the counts."""
+    import coarsegrainingvae_tpu.data.synthetic as S
+
+    S._PRESETS["_test_stride"] = dict(
+        n_heavy=60, n_frames_default=8, ou_kappa=0.15, hop_scale=0.25,
+        relax_margin=1.30, rotatable_stride=4,
+    )
+    try:
+        z, frames, bonds = S.synthetic_peptide(
+            "_test_stride", n_frames=8, seed=9
+        )
+    finally:
+        del S._PRESETS["_test_stride"]
+    assert (S.graph_violations(z, frames, bonds, band=1.0) == 0).all()
+    per = np.concatenate(
+        [S.graph_violations(z, frames[i : i + 1], bonds, band=1.02)
+         for i in range(len(frames))]
+    )
+    np.testing.assert_array_equal(
+        S.graph_violations(z, frames, bonds, band=1.02), per
+    )
+    # the spike preset is registered at ~10k-atom scale with a stride
+    assert S._PRESETS["covid"]["rotatable_stride"] > 1
+    assert S._PRESETS["covid"]["n_heavy"] >= 3000

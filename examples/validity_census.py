@@ -33,6 +33,9 @@ from coarsegrainingvae_tpu.eval.metrics import (
 from coarsegrainingvae_tpu.utils.xyz import read_xyz
 
 
+_ELEM = {1: "H", 6: "C", 7: "N", 8: "O", 16: "S"}
+
+
 def census(recon, z, bonds, top=12):
     n = z.shape[0]
     ref = np.zeros((n, n), np.int8)
@@ -41,6 +44,9 @@ def census(recon, z, bonds, top=12):
     gen = bond_graphs_batch(recon, z)
     heavy = z != 1
     diff = gen != ref[None]
+
+    def lab(i):
+        return f"{_ELEM.get(int(z[i]), str(int(z[i])))}{i}"
     out = {
         "frames": int(recon.shape[0]),
         "all_valid_ratio": float((diff.sum((1, 2)) == 0).mean()),
@@ -60,7 +66,7 @@ def census(recon, z, bonds, top=12):
         vals = m[iu] * 2.0  # symmetric matrix -> per-pair frequency
         order = np.argsort(vals)[::-1][:top]
         return [
-            (int(iu[0][o]), int(iu[1][o]), round(float(vals[o]), 3))
+            (lab(iu[0][o]), lab(iu[1][o]), round(float(vals[o]), 3))
             for o in order
             if vals[o] > 0
         ]
@@ -83,10 +89,15 @@ def data_margins(frames, z, bonds, pairs):
     d = np.sqrt(
         ((frames[:, :, None, :] - frames[:, None, :, :]) ** 2).sum(-1)
     )
-    return {
-        f"{a}-{b}": round(float(np.median(d[:, a, b]) - cut[a, b]), 3)
-        for a, b, _ in pairs
-    }
+
+    def idx(label):  # "C67" -> 67 (census labels are element+index)
+        return int("".join(c for c in str(label) if c.isdigit()))
+
+    out = {}
+    for a, b, _ in pairs:
+        i, j = idx(a), idx(b)
+        out[f"{a}-{b}"] = round(float(np.median(d[:, i, j]) - cut[i, j]), 3)
+    return out
 
 
 def main(argv=None):

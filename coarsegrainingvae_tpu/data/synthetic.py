@@ -419,6 +419,21 @@ def synthetic_peptide(
                 frames[f] = sample_frame()
         frames[bad] = relax_frames(z, frames[bad], bonds, rest,
                                    margin=relax_margin)
+    else:
+        bad = np.flatnonzero(graph_violations(z, frames, bonds, band=1.02))
+        if bad.size:
+            # leave the frames as-generated (changing them would break
+            # cache/A/B reproducibility) but make the escape visible: such
+            # frames carry off-distribution geometry that can dominate
+            # mean-RMSD metrics (the dipeptide fold-4 frame-901 outlier,
+            # examples/results/dipeptide_5fold/README.md)
+            import warnings
+
+            warnings.warn(
+                f"synthetic_peptide({name!r}): {bad.size}/{n_frames} frames "
+                f"still violate the bonded topology after 4 repair rounds "
+                f"(first: {bad[:8].tolist()})", RuntimeWarning,
+            )
 
     frames = frames.astype(np.float32)
     frames -= frames.mean(axis=1, keepdims=True)

@@ -128,6 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rsqrt(degree) message scaling for high-degree "
                         "graphs (spike-protein scale; the reference's "
                         "unnormalized sums overflow at degree ~90)")
+    p.add_argument("--h_project", action="store_true", default=False,
+                   help="SHAKE-style constraint: snap each hydrogen onto "
+                        "its covalent bond length along the decoded "
+                        "direction (repo extension targeting the missing-"
+                        "X-H validity failures; default off = reference)")
     return p
 
 
@@ -151,6 +156,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             breaksym=(a.n_cgs == 3),  # run_ala.py:192-197
             det=a.det, sparse=getattr(a, "sparse", False),
             degree_norm=getattr(a, "degree_norm", False),
+            h_project=getattr(a, "h_project", False),
             message_impl=a.message_impl, pseudo_impl=a.pseudo_impl,
         ),
         data=DataConfig(

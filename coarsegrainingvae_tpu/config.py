@@ -40,6 +40,11 @@ class ModelConfig:
     # on large/high-degree graphs (spike-protein scale); the reference has
     # no normalization (its graphs are small), so default False for parity
     degree_norm: bool = False
+    # SHAKE-style hard constraint: snap each H onto its covalent bond
+    # length along the decoded direction (models/cgvae.py::
+    # project_h_bonds). Opt-in extension, no reference analogue; default
+    # False = reference loss/metric surface
+    h_project: bool = False
     dropout: float = 0.0
     # force the sparse (segment-sum) formulation even where the dense
     # regime applies; persisted so a finished run reloads with the SAME

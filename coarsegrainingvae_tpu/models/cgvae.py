@@ -100,6 +100,60 @@ class VAEOutput:
     xyz_recon: Array
 
 
+def project_h_bonds(
+    xyz_recon: Array,   # (BN, 3) decoded positions (flat layout)
+    z: Array,           # (BN,)
+    xyz_true: Array,    # (BN, 3) batch ground truth (bond lengths only)
+    bonds: Array,       # (BEb, 2) global covalent edges
+    bond_mask: Array,   # (BEb,)
+) -> Array:
+    """Snap every hydrogen onto its covalent bond length along the decoded
+    direction (SHAKE-style hard constraint; differentiable a.e.).
+
+    Opt-in repo extension (ModelConfig.h_project, no reference analogue):
+    the census of trained runs (examples/validity_census.py) shows the
+    dominant all-atom validity failure is X-H bonds reconstructed outside
+    the 1.3x-covalent cutoff, and an X-H bond LENGTH is a chemical
+    constant -- reading it from the batch's true geometry leaks nothing
+    about the conformer. Equivariant by construction (built from relative
+    vectors). Each H has exactly one covalent bond, so one .at[].add
+    scatter rewrites all hydrogens in a single fused op.
+    """
+    a, b = bonds[:, 0], bonds[:, 1]
+    za, zb = jnp.take(z, a), jnp.take(z, b)
+    is_ha = (za == 1) & (zb != 1)
+    is_hb = (zb == 1) & (za != 1)
+    h_idx = jnp.where(is_ha, a, b)
+    p_idx = jnp.where(is_ha, b, a)
+    rest = jnp.sqrt(jnp.sum(
+        (jnp.take(xyz_true, h_idx, 0) - jnp.take(xyz_true, p_idx, 0)) ** 2,
+        -1,
+    ) + 1e-12)
+    # g.bonds is the edgeorder-EXPANDED graph-loss edge list (possibly
+    # directed): keep, per hydrogen, only its TRUE covalent parent = the
+    # NEAREST heavy partner in the true geometry (a 1-2 X-H is always
+    # closer than any 1-3 pseudo-edge; an absolute distance gate fails on
+    # compressed 1-3 pairs). Scatter-min over the H axis, then select the
+    # edges that attain it.
+    sel0 = is_ha | is_hb
+    if bond_mask is not None:
+        sel0 = sel0 & (bond_mask > 0)
+    restw = jnp.where(sel0, rest, jnp.inf)
+    min_rest = jnp.full(
+        xyz_recon.shape[0], jnp.inf, rest.dtype
+    ).at[h_idx].min(restw)
+    sel = sel0 & (rest <= jnp.take(min_rest, h_idx) + 1e-6)
+    d = jnp.take(xyz_recon, h_idx, 0) - jnp.take(xyz_recon, p_idx, 0)
+    norm = jnp.sqrt(jnp.sum(d * d, -1) + 1e-12)
+    target = jnp.take(xyz_recon, p_idx, 0) + d * (rest / norm)[:, None]
+    selw = sel.astype(xyz_recon.dtype)
+    # duplicate directed edges contribute the same target: average them
+    acc = jnp.zeros_like(xyz_recon).at[h_idx].add(target * selw[:, None])
+    cnt = jnp.zeros(xyz_recon.shape[0], xyz_recon.dtype).at[h_idx].add(selw)
+    proj = acc / jnp.maximum(cnt, 1.0)[:, None]
+    return jnp.where((cnt > 0.0)[:, None], proj, xyz_recon)
+
+
 class EquiEncoder(nn.Module):
     """Atom-graph PaiNN encoder with per-layer atom->CG contraction
     (cgvae.py:194-331). Returns (H per-bead, h per-atom).
@@ -408,7 +462,12 @@ class CGequiVAE(nn.Module):
             # non-equivariant "euclidean" head (cgvae.py:469-471)
             dv = self.euclidean(cg_s).reshape(cg_s.shape[0], self.cfg.n_basis, 3)
             cg_v = jnp.swapaxes(dv, 1, 2)  # -> (BM, 3, F)
-        return lift_channels(cg_v, g, offset=self.cfg.offset)
+        xyz_recon = lift_channels(cg_v, g, offset=self.cfg.offset)
+        if self.cfg.h_project:
+            xyz_recon = project_h_bonds(
+                xyz_recon, g.z, g.xyz, g.bonds, g.bond_mask
+            )
+        return xyz_recon
 
     def prior(self, g: FlatGraph) -> Tuple[Array, Array]:
         return self.prior_net(g)

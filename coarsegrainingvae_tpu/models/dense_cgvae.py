@@ -370,11 +370,22 @@ class DenseCGVAE(nn.Module):
         anchor = jnp.einsum("bkd,bnk->bnd", cg_xyz, onehot)
         xyz_recon = xyz_rel + anchor
 
+        xyz_recon_flat = xyz_recon.reshape(b * n, 3)
+        if c.h_project:
+            from coarsegrainingvae_tpu.models.cgvae import (
+                flatten_batch,
+                project_h_bonds,
+            )
+
+            g = flatten_batch(batch)
+            xyz_recon_flat = project_h_bonds(
+                xyz_recon_flat, g.z, g.xyz, g.bonds, g.bond_mask
+            )
         return VAEOutput(
             mu=mu.reshape(b * m, f), sigma=sigma.reshape(b * m, f),
             prior_mu=prior_mu.reshape(b * m, f),
             prior_sigma=prior_sigma.reshape(b * m, f),
-            xyz=xyz.reshape(b * n, 3), xyz_recon=xyz_recon.reshape(b * n, 3),
+            xyz=xyz.reshape(b * n, 3), xyz_recon=xyz_recon_flat,
         )
 
     def generate(self, batch: CGBatch) -> Array:

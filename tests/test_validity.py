@@ -208,3 +208,61 @@ def test_rotatable_stride_and_chunked_violations():
     # the spike preset is registered at ~10k-atom scale with a stride
     assert S._PRESETS["covid"]["rotatable_stride"] > 1
     assert S._PRESETS["covid"]["n_heavy"] >= 3000
+
+
+def test_h_project_constrains_xh_bond_lengths(small_dataset):
+    """With ModelConfig.h_project, every X-H distance in the decoded
+    output equals the batch's true covalent bond length exactly, in BOTH
+    the sparse (CGequiVAE) and dense (DenseCGVAE) regimes; heavy atoms
+    are untouched."""
+    import jax
+
+    from coarsegrainingvae_tpu.config import ModelConfig
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE, flatten_batch
+    from coarsegrainingvae_tpu.models.dense_cgvae import DenseCGVAE
+
+    batch = small_dataset.batch(np.arange(4))
+
+    def xh_err_and_heavy_delta(model_cls, h_project):
+        cfg = ModelConfig(
+            n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+            enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+            compute_dtype="float32", h_project=h_project,
+        )
+        model = model_cls(cfg=cfg)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            batch,
+        )["params"]
+        out = model.apply({"params": params}, batch,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        g = flatten_batch(batch)
+        z = np.asarray(g.z)
+        bonds = np.asarray(g.bonds)
+        bm = np.asarray(g.bond_mask) > 0
+        recon = np.asarray(out.xyz_recon)
+        true = np.asarray(g.xyz)
+        d_true = np.linalg.norm(true[bonds[:, 0]] - true[bonds[:, 1]], axis=-1)
+        # per-H covalent parent = nearest heavy partner in true geometry
+        # (g.bonds carries the edgeorder-expanded graph-loss list)
+        xh = ((z[bonds[:, 0]] == 1) ^ (z[bonds[:, 1]] == 1)) & bm
+        h_of = np.where(z[bonds[:, 0]] == 1, bonds[:, 0], bonds[:, 1])
+        min_rest = np.full(len(z), np.inf)
+        np.minimum.at(min_rest, h_of[xh], d_true[xh])
+        is_xh = xh & (d_true <= min_rest[h_of] + 1e-6)
+
+        def dists(x):
+            return np.linalg.norm(
+                x[bonds[is_xh, 0]] - x[bonds[is_xh, 1]], axis=-1
+            )
+
+        return (np.abs(dists(recon) - dists(true)).max(),
+                recon[z != 1])
+
+    err_off, _ = xh_err_and_heavy_delta(CGequiVAE, False)
+    assert err_off > 1e-3  # untrained decoder is nowhere near bond lengths
+
+    for cls in (CGequiVAE, DenseCGVAE):
+        err_on, heavy = xh_err_and_heavy_delta(cls, True)
+        assert err_on < 1e-4, f"{cls.__name__}: max X-H error {err_on}"
+        assert np.isfinite(heavy).all()

@@ -7,7 +7,7 @@
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 echo "=== [1/3] dipeptide c5: c3 recipe + --h_project (all-atom validity shot) ==="
-timeout 2300 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset dipeptide \
+timeout 2800 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset dipeptide \
   -n_cgs 3 -batch_size 128 -ndata 20000 -nepochs 600 -lr 3.2e-4 \
   -n_basis 600 -n_rbf 8 -atom_cutoff 8.5 -cg_cutoff 9.5 -nsplits 5 \
   -beta 0.05 -gamma 25.0 -zeta 100.0 -steric_margin 0.3 -zeta_warmup 500 \

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradient-active graph weight over the first N "
                         "steps (recon-first curriculum; the tracked loss "
                         "keeps the reference's full gamma*graph)")
+    p.add_argument("--h_project", action="store_true", default=False,
+                   help="SHAKE-style constraint: snap each hydrogen onto "
+                        "its covalent bond length along the decoded "
+                        "direction (repo extension; default off = "
+                        "reference)")
     p.add_argument("-tau_0", type=float, default=2.0)
     p.add_argument("-tau_min", type=float, default=0.3)
     p.add_argument("-tau_rate", type=float, default=0.004)
@@ -127,6 +132,7 @@ def main(argv=None):
             assign_idx=assign_idx, seed=a.seed,
             zeta=a.zeta, steric_tables=steric, graph_grad=a.graph_grad,
             zeta_warmup=a.zeta_warmup, graph_warmup=a.graph_warmup,
+            h_project=a.h_project,
         )
         state = trainer.init_state(
             ds_tr.batch(np.arange(min(a.batch_size, len(ds_tr))))

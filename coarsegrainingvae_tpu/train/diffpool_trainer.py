@@ -114,6 +114,7 @@ class DiffPoolTrainer:
         graph_grad: bool = False,
         zeta_warmup: int = 0,
         graph_warmup: int = 0,
+        h_project: bool = False,
     ):
         self.cfg = cfg
         self.beta = beta
@@ -126,6 +127,10 @@ class DiffPoolTrainer:
         # observed on the round-4 graph_grad+zeta diffpool retrain)
         self.graph_warmup = int(graph_warmup or 0)
         self.graph_grad = graph_grad
+        # SHAKE-style H bond-length constraint on the decoded positions
+        # (models/cgvae.py::project_h_bonds, vmapped over the dense batch);
+        # applies on train/eval AND generative-sample paths
+        self.h_project = bool(h_project)
         self.steric_tables = (
             tuple(jnp.asarray(t) for t in steric_tables)
             if steric_tables is not None else None
@@ -158,13 +163,30 @@ class DiffPoolTrainer:
             lr=jnp.asarray(self.base_lr, jnp.float32),
         )
 
+    def _project(self, xyz_recon, z, xyz_true, bonds):
+        """Vmapped H bond-length projection over the dense (B, N, 3) batch
+        (single shared topology; bonds may be the high-order hyperedge
+        list -- project_h_bonds picks each H's nearest heavy partner)."""
+        from coarsegrainingvae_tpu.models.cgvae import project_h_bonds
+
+        z0 = jnp.asarray(z)[0]
+        bonds = jnp.asarray(bonds)
+        return jax.vmap(
+            lambda xr, xt: project_h_bonds(xr, z0, xt, bonds, None)
+        )(xyz_recon, xyz_true)
+
     def _apply(self, params, batch: DiffPoolBatch, rng, tau) -> DiffPoolOutput:
-        return self.model.apply(
+        out = self.model.apply(
             {"params": params},
             jnp.asarray(batch.z), jnp.asarray(batch.xyz), jnp.asarray(batch.adj),
             tau,
             rngs={"gumbel": rng, "sample": jax.random.fold_in(rng, 7)},
         )
+        if self.h_project:
+            out = out.replace(xyz_recon=self._project(
+                out.xyz_recon, batch.z, out.xyz, batch.bonds
+            ))
+        return out
 
     def _train_step_impl(self, state: DiffPoolTrainState, batch, rng):
         tau = self._tau(state.step)
@@ -237,13 +259,17 @@ class DiffPoolTrainer:
         )
 
     def _sample_impl(self, params, batch, rng, hard=False):
-        return self.model.apply(
+        xs = self.model.apply(
             {"params": params},
             jnp.asarray(batch.z), jnp.asarray(batch.xyz), jnp.asarray(batch.adj),
             jnp.asarray(self.cfg.tau_min), hard,
             method=self.model.sample,
             rngs={"gumbel": rng, "sample": jax.random.fold_in(rng, 7)},
         )
+        if self.h_project:
+            xs = self._project(xs, batch.z, jnp.asarray(batch.xyz),
+                               batch.bonds)
+        return xs
 
     # ------------------------------------------------------------ public API
     def train_step(self, state, batch, rng):

@@ -266,3 +266,49 @@ def test_h_project_constrains_xh_bond_lengths(small_dataset):
         err_on, heavy = xh_err_and_heavy_delta(cls, True)
         assert err_on < 1e-4, f"{cls.__name__}: max X-H error {err_on}"
         assert np.isfinite(heavy).all()
+
+
+def test_h_project_diffpool_sample_path():
+    """DiffPoolTrainer(h_project=True): generative samples carry exact
+    X-H covalent bond lengths; with the flag off they do not (untrained)."""
+    import jax
+
+    from coarsegrainingvae_tpu.config import DiffPoolConfig
+    from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.train.diffpool_trainer import DiffPoolTrainer
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=8, seed=3)
+    ds = build_diffpool_dataset(frames, z, bonds)
+    cfg = DiffPoolConfig(
+        n_atoms=z.shape[0], n_cgs=3, feat_dim=16, n_rbf=4,
+        atom_cutoff=8.0, cg_cutoff=30.0, pool_nconv=1, enc_nconv=1,
+        dec_nconv=1, tau_0=2.0, tau_min=0.3, tau_rate=0.004,
+        trainable_map=True,
+    )
+    batch = ds.batch(np.arange(4))
+    rng = jax.random.PRNGKey(0)
+
+    # per-H covalent parent from the raw topology
+    parent = {}
+    for a, b in np.asarray(bonds):
+        if z[a] == 1 and z[b] != 1:
+            parent[int(a)] = int(b)
+        if z[b] == 1 and z[a] != 1:
+            parent[int(b)] = int(a)
+    hs = np.array(sorted(parent))
+    ps = np.array([parent[h] for h in hs])
+    rest = np.linalg.norm(frames[0][hs] - frames[0][ps], axis=-1)
+
+    def max_xh_err(h_project):
+        tr = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=5,
+                             h_project=h_project)
+        state = tr.init_state(batch)
+        xs = np.asarray(jax.device_get(
+            tr.sample(state.params, batch, rng, False)
+        ))
+        d = np.linalg.norm(xs[:, hs] - xs[:, ps], axis=-1)
+        return np.abs(d - rest[None]).max()
+
+    assert max_xh_err(False) > 1e-2
+    assert max_xh_err(True) < 1e-4

@@ -20,7 +20,7 @@ echo "=== [3/4] DiffPool v5: graph_grad + warmups (v4 showed step-0 graph pressu
 timeout 3400 python -m coarsegrainingvae_tpu.cli.run_diffpool -ndata 2000 -n_cgs 8 \
   -nepochs 600 -batch_size 32 -lr 3e-4 -beta 0.02 -gamma 25.0 -n_pretrain 20 -tau_min 0.1 \
   -num_features 512 -nsplits 2 -patience 600 -lr_factor 0.6 \
-  --sample_hard --graph_grad -graph_warmup 5000 -zeta 50.0 -steric_margin 0.3 -zeta_warmup 5000 \
+  --sample_hard --graph_grad -graph_warmup 5000 -zeta 50.0 -steric_margin 0.3 -zeta_warmup 5000 --h_project \
   -logdir /tmp/r4c_diffpool_v5
 echo "=== [4/4] bench probe: batch 192 ==="
 BENCH_BATCH=192 BENCH_FAST=1 timeout 1200 python bench.py

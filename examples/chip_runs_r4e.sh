@@ -31,4 +31,13 @@ timeout 5400 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset chignolin \
   -n_rbf 10 -cg_method cgae --graph_eval -n_ensemble 8 -nevals 24 \
   -patience 100 -factor 0.3 -lr_patience 30 -min_lr 1e-13 -max_folds 1 \
   --dec_type cross -seed 123 -logdir /tmp/r4e_chig_v9
+
+echo "=== [4/4] chignolin v10: zeta 800 dose-response rung ==="
+timeout 3600 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset chignolin \
+  -n_cgs 6 -batch_size 16 -ndata 5000 -nepochs 600 -atom_cutoff 12.0 -cg_cutoff 25.0 \
+  -nsplits 5 -beta 0.05 -gamma 50.0 -zeta 800.0 -steric_margin 0.5 -zeta_warmup 2000 \
+  --h_project -dec_nconv 9 -enc_nconv 2 -lr 3e-4 -n_basis 600 \
+  -n_rbf 10 -cg_method cgae --graph_eval -n_ensemble 8 -nevals 24 \
+  -patience 600 -factor 0.3 -lr_patience 60 -min_lr 1e-13 -max_folds 1 \
+  --dec_type cross -seed 123 -logdir /tmp/r4e_chig_v10
 echo "ALL DONE QUEUE_R4E"

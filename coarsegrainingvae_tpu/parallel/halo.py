@@ -45,16 +45,30 @@ class HaloPlan:
     """Host-side atom partition for one topology (all numpy, static)."""
 
     n_shards: int
-    shard_size: int          # P: atoms per shard (N must divide evenly)
+    shard_size: int          # P: atoms per shard (of the PADDED count)
     halo: int                # H: boundary atoms exchanged with each neighbor
-    order: np.ndarray        # (N,) spatial sort: sharded index -> original
+    order: np.ndarray        # (Np,) sharded index -> original (ghosts -> n)
     inv_order: np.ndarray    # (N,) original index -> sharded index
     edges: np.ndarray        # (D, E, 2) int32 per-shard [recv_ext, send_ext]
     edge_mask: np.ndarray    # (D, E) bool, False on padding
+    n_atoms: int = 0         # N: real atoms (Np = n_shards * shard_size)
 
     @property
     def ext_size(self) -> int:
         return self.shard_size + 2 * self.halo
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_shards * self.shard_size
+
+    def pad(self, x: np.ndarray) -> np.ndarray:
+        """(N, ...) array in ORIGINAL order -> (Np, ...) in sharded order
+        (ghost rows zero). Inverse: take [inv_order] of the result."""
+        x = np.asarray(x)
+        out = np.zeros((self.n_padded,) + x.shape[1:], x.dtype)
+        real = self.order < self.n_atoms
+        out[real] = x[self.order[real]]
+        return out
 
 
 def plan_halo(
@@ -64,21 +78,27 @@ def plan_halo(
 
     xyz: (N, 3) representative coordinates (any frame -- the partition
     only needs rough locality; the radius graph `edges` (E, 2) directed
-    [receiver, sender] decides correctness). Raises if any edge would
-    reach beyond the +-1-neighbor halo -- the caller must raise `halo`
-    or lower the cutoff (the check is exact, not heuristic).
+    [receiver, sender] decides correctness). N that does not divide by
+    n_shards is padded with edge-less ghost atoms sorted last (zero rows
+    via `plan.pad`). Raises if any edge would reach beyond the
+    +-1-neighbor halo -- the caller must raise `halo` or lower the
+    cutoff (the check is exact, not heuristic).
     """
     xyz = np.asarray(xyz)
     n = xyz.shape[0]
-    if n % n_shards:
-        raise ValueError(f"{n} atoms do not split into {n_shards} shards")
-    p = n // n_shards
-    if halo > p:
-        raise ValueError(f"halo {halo} exceeds shard size {p}")
+    n_pad = (-n) % n_shards
     axis = int(np.argmax(xyz.max(0) - xyz.min(0)))
     order = np.argsort(xyz[:, axis], kind="stable").astype(np.int32)
-    inv_order = np.empty_like(order)
-    inv_order[order] = np.arange(n, dtype=np.int32)
+    if n_pad:
+        # ghost atoms (index n) sort last: they own no edges, so the only
+        # constraint is that they do not displace real atoms across slab
+        # boundaries, which appending at the tail guarantees
+        order = np.concatenate([order, np.full(n_pad, n, np.int32)])
+    p = (n + n_pad) // n_shards
+    if halo > p:
+        raise ValueError(f"halo {halo} exceeds shard size {p}")
+    inv_order = np.empty(n, np.int32)
+    inv_order[order[:n]] = np.arange(n, dtype=np.int32)  # ghosts sit at the tail
 
     e = inv_order[np.asarray(edges, np.int64)]  # edges in sharded space
     recv_shard = e[:, 0] // p
@@ -116,7 +136,7 @@ def plan_halo(
         mask[d, : len(ed)] = True
     return HaloPlan(
         n_shards=n_shards, shard_size=p, halo=halo, order=order,
-        inv_order=inv_order, edges=out, edge_mask=mask,
+        inv_order=inv_order, edges=out, edge_mask=mask, n_atoms=n,
     )
 
 

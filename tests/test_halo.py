@@ -221,3 +221,45 @@ def test_halo_gradient_parity():
     np.testing.assert_allclose(
         np.asarray(g_ref[1]), np.asarray(g_halo[1]), rtol=5e-4, atol=5e-5
     )
+
+
+def test_halo_uneven_atom_count_ghost_padding():
+    """N not divisible by n_shards: plan_halo pads with edge-less ghost
+    atoms (plan.pad puts inputs in sharded order with zero ghost rows)
+    and the sharded stack still matches the unsharded one on the real
+    atoms."""
+    from coarsegrainingvae_tpu.parallel.halo import (
+        EquiStack,
+        halo_stack_apply,
+    )
+
+    n, n_shards, cutoff, feat_dim = 500, 8, 2.5, 8  # 500 % 8 = 4
+    xyz, edges = _cloud(n, cutoff, seed=21)
+    rng = np.random.default_rng(22)
+    s = rng.normal(size=(n, feat_dim)).astype(np.float32)
+    v = rng.normal(size=(n, 3, feat_dim)).astype(np.float32)
+
+    kw = dict(n_conv=2, feat_dim=feat_dim, n_rbf=6, activation="swish",
+              cutoff=cutoff)
+    stack = EquiStack(**kw)
+    params = stack.init(
+        jax.random.PRNGKey(0), jnp.asarray(s), jnp.asarray(v),
+        jnp.asarray(xyz), jnp.asarray(edges), None,
+    )["params"]
+    s_ref, v_ref = stack.apply(
+        {"params": params}, jnp.asarray(s), jnp.asarray(v),
+        jnp.asarray(xyz), jnp.asarray(edges), None,
+    )
+
+    plan = plan_halo(xyz, edges, n_shards, halo=24)
+    assert plan.n_padded == 504 and plan.shard_size == 63
+    mesh = make_atom_mesh(n_shards)
+    s_h, v_h = halo_stack_apply(
+        kw, params,
+        jnp.asarray(plan.pad(s)), jnp.asarray(plan.pad(v)),
+        jnp.asarray(plan.pad(xyz)), plan, mesh,
+    )
+    s_h = np.asarray(jax.device_get(s_h))[plan.inv_order]
+    v_h = np.asarray(jax.device_get(v_h))[plan.inv_order]
+    np.testing.assert_allclose(s_h, np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(v_h, np.asarray(v_ref), rtol=2e-4, atol=2e-4)

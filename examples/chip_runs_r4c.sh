@@ -11,11 +11,12 @@ timeout 3600 python -m coarsegrainingvae_tpu.cli.run_pcn -ndata 300 -min_res 120
   -zeta 20.0 -steric_margin 0.3 -zeta_warmup 500 \
   -batch_size 4 -nepochs 300 -patience 300 -lr_patience 30 -lr_factor 0.5 -min_lr 1e-5 \
   -cutoff 10.0 -n_dump 6 --dec_type cross -logdir /tmp/r4c_pcn_large
-echo "=== [2/4] PCN P4: pseudo decoder A/B at 50-80 res ==="
+echo "=== [2/4] PCN P5: p3 + batched steric (census: spurious contacts outnumber missing bonds 4:1) ==="
 timeout 2400 python -m coarsegrainingvae_tpu.cli.run_pcn -ndata 400 -min_res 50 -max_res 81 \
   -n_basis 256 -dec_nconv 4 -lr 3e-3 -grad_clip 1.0 -gamma 5.0 -kappa 1.0 -aux_warmup 60 \
+  -zeta 20.0 -steric_margin 0.3 -zeta_warmup 500 \
   -batch_size 8 -nepochs 300 -patience 300 -lr_patience 30 -lr_factor 0.5 -min_lr 1e-5 \
-  -cutoff 10.0 -n_dump 2 --dec_type pseudo -logdir /tmp/r4c_pcn_p4
+  -cutoff 10.0 -n_dump 2 --dec_type cross -logdir /tmp/r4c_pcn_p5
 echo "=== [3/4] DiffPool v5: graph_grad + warmups (v4 showed step-0 graph pressure stalls recon) ==="
 timeout 3400 python -m coarsegrainingvae_tpu.cli.run_diffpool -ndata 2000 -n_cgs 8 \
   -nepochs 600 -batch_size 32 -lr 3e-4 -beta 0.02 -gamma 25.0 -n_pretrain 20 -tau_min 0.1 \

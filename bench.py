@@ -168,8 +168,12 @@ def chignolin_scan(n_steps: int = 50, batch_size: int = 16):
             enc_nconv=2, dec_nconv=9, activation="swish", dec_type="cross",
         ),
         data=DataConfig(batch_size=batch_size),
+        # lr_warmup: the deep cross decoder can amplify an unlucky
+        # step-0 Adam direction by 1e6+ (measured on this exact scan,
+        # chip + CPU repro) -- ramp over the first scan so the recorded
+        # loss trend reflects training, not one bad first step
         train=TrainConfig(lr=3e-4, beta=0.05, gamma=50.0, grad_clip=0.01,
-                          adam_moment_dtype="bfloat16"),
+                          adam_moment_dtype="bfloat16", lr_warmup=n_steps),
     )
     _, details = measure_scan(cfg, ds, batch_size, n_steps)
     details["config"] = (

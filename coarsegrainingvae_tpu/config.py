@@ -131,6 +131,14 @@ class TrainConfig:
     # the first Adam update down an all-pairs-expansion direction that a
     # deep decoder amplifies into a dead run (see train/trainer.py).
     zeta_warmup: int = 0
+    # linear LR warmup over the first N optimizer STEPS (0 = no ramp =
+    # reference behavior). The step-0 Adam update is sign-like
+    # (m/sqrt(v) has unit scale whatever the gradient magnitude) and the
+    # deep chignolin cross decoder can amplify an unlucky first
+    # direction by 1e6+ even WITHOUT the steric term (reproduced on the
+    # bench chignolin scan, CPU + chip); a short ramp removes the
+    # failure mode without changing the converged objective.
+    lr_warmup: int = 0
     # upweight X-H bonded-distance terms in the graph loss (repo
     # extension; 1.0 = reference behavior). X-H stretches are the
     # stiffest bonds physically and the dominant residual

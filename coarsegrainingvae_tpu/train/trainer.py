@@ -264,8 +264,15 @@ class Trainer:
         grads = jax.tree.map(lambda g_: jnp.where(ok, g_, jnp.zeros_like(g_)), grads)
 
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        lr_eff = state.lr
+        lr_warm = int(getattr(self.cfg.train, "lr_warmup", 0) or 0)
+        if lr_warm > 0:
+            # (step+1)/N so the ramp starts at 1/N, not a wasted 0-step
+            lr_eff = lr_eff * jnp.minimum(
+                (state.step.astype(jnp.float32) + 1.0) / lr_warm, 1.0
+            )
         updates = jax.tree.map(
-            lambda u: jnp.where(ok, -state.lr * u, jnp.zeros_like(u)), updates
+            lambda u: jnp.where(ok, -lr_eff * u, jnp.zeros_like(u)), updates
         )
         params = optax.apply_updates(state.params, updates)
         # a skipped batch must not advance optimizer moments either

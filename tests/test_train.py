@@ -227,3 +227,47 @@ def test_trainer_bf16_adam_moments_trains(small_dataset):
         state, m = tr.train_step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(jax.device_get(m["loss"])))
     assert losses[-1] < losses[0]
+
+
+def test_lr_warmup_scales_first_update(small_dataset):
+    """lr_warmup=N: the step-0 parameter update is exactly 1/N of the
+    unwarmed update (same init/batch/rng); lr_warmup=0 is the default
+    reference behavior."""
+    import jax
+    import numpy as np
+
+    from coarsegrainingvae_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE
+    from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    def mk(warm):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+                enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+                compute_dtype="float32",
+            ),
+            data=DataConfig(batch_size=4, seed=0),
+            train=TrainConfig(nepochs=1, lr=1e-3, beta=0.05, gamma=1.0,
+                              lr_warmup=warm),
+        )
+        return Trainer(CGequiVAE(cfg=cfg.model), cfg, mesh=make_mesh(1))
+
+    batch = small_dataset.batch(np.arange(4))
+    rng = jax.random.PRNGKey(0)
+    t0, t4 = mk(0), mk(4)
+    s0 = t0.init_state(batch, seed=0)
+    s4 = t4.init_state(batch, seed=0)
+    # train_step donates the state: snapshot init params first
+    init = [np.asarray(p).copy() for p in jax.tree.leaves(s0.params)]
+    n0, _ = t0.train_step(s0, batch, rng)
+    n4, _ = t4.train_step(s4, batch, rng)
+    for p_init, a, b in zip(
+        init, jax.tree.leaves(n0.params), jax.tree.leaves(n4.params),
+    ):
+        d0 = np.asarray(a) - np.asarray(p_init)
+        d4 = np.asarray(b) - np.asarray(p_init)
+        np.testing.assert_allclose(d4, d0 / 4.0, rtol=1e-4, atol=1e-7)

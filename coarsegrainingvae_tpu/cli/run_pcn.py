@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr_patience", type=int, default=2)
     p.add_argument("-lr_factor", type=float, default=0.6)
     p.add_argument("-min_lr", type=float, default=1e-8)
+    p.add_argument("--bond_project", action="store_true", default=False,
+                   help="depth-ordered covalent bond-length projection "
+                        "rooted at the pinned C-alphas (repo extension, "
+                        "models/cgvae.py::project_bonds_rooted; default "
+                        "off = reference)")
     p.add_argument("-min_res", type=int, default=6,
                    help="synthetic stand-in protein length range")
     p.add_argument("-max_res", type=int, default=14)
@@ -133,7 +138,8 @@ def main(argv=None):
                          grad_clip=a.grad_clip, seed=a.seed,
                          aux_warmup=a.aux_warmup, zeta=a.zeta,
                          steric_margin=a.steric_margin,
-                         zeta_warmup=a.zeta_warmup)
+                         zeta_warmup=a.zeta_warmup,
+                         bond_project=a.bond_project)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)
 

@@ -154,6 +154,82 @@ def project_h_bonds(
     return jnp.where((cnt > 0.0)[:, None], proj, xyz_recon)
 
 
+def project_bonds_rooted(
+    xyz_recon: Array,   # (BN, 3) decoded positions (flat layout)
+    xyz_true: Array,    # (BN, 3) true geometry (bond lengths only)
+    bonds: Array,       # (BEb, 2) global covalent edges
+    bond_mask: Array,   # (BEb,) or None
+    root_mask: Array,   # (BN,) pinned root atoms (PCN: the C-alphas)
+    atom_mask: Array = None,  # (BN,)
+    max_depth: int = 8,
+    n_relax: int = 20,
+) -> Array:
+    """Depth-ordered covalent bond-length projection rooted at pinned
+    atoms (the PCN analogue of `project_h_bonds`): label every atom with
+    its BFS depth from the nearest root along the covalent graph (done
+    IN-JIT with max_depth rounds of scatter-min -- no host precompute),
+    then, depth by depth, snap each atom onto its parent at the TRUE
+    bond length (a chemical constant) along the decoded direction.
+
+    Roots never move; sequential depth rounds mean each atom projects
+    onto its ALREADY-projected parent, so every TREE bond in the output
+    is exact. Cycle-closing bonds (rings; the synthetic atom14 ensembles
+    are heavily cyclic) are then handled by n_relax rounds of Jacobi
+    bond-constraint relaxation (position-based dynamics: every atom
+    moves by its degree-normalized mean bond-length correction, roots
+    stay pinned). Equivariant, differentiable a.e.; opt-in (no
+    reference analogue)."""
+    n = xyz_recon.shape[0]
+    a, b = bonds[:, 0], bonds[:, 1]
+    bm = (
+        jnp.ones(a.shape[0], bool) if bond_mask is None else (bond_mask > 0)
+    )
+    if atom_mask is not None:
+        bm = bm & (atom_mask[a] > 0) & (atom_mask[b] > 0)
+    inf = jnp.int32(1_000_000)
+    depth = jnp.where(root_mask > 0, 0, inf).astype(jnp.int32)
+    if atom_mask is not None:
+        depth = jnp.where(atom_mask > 0, depth, inf)
+    for _ in range(max_depth):
+        da, db = jnp.take(depth, a), jnp.take(depth, b)
+        depth = depth.at[a].min(jnp.where(bm, db + 1, inf))
+        depth = depth.at[b].min(jnp.where(bm, da + 1, inf))
+    da, db = jnp.take(depth, a), jnp.take(depth, b)
+    parent = jnp.full(n, -1, jnp.int32)
+    parent = parent.at[a].max(jnp.where(bm & (da == db + 1), b, -1))
+    parent = parent.at[b].max(jnp.where(bm & (db == da + 1), a, -1))
+    p = jnp.clip(parent, 0)
+    rest = jnp.sqrt(jnp.sum(
+        (xyz_true - jnp.take(xyz_true, p, 0)) ** 2, -1) + 1e-12)
+    x = xyz_recon
+    for d in range(1, max_depth + 1):
+        sel = (depth == d) & (parent >= 0)
+        dvec = x - jnp.take(x, p, 0)
+        nrm = jnp.sqrt(jnp.sum(dvec * dvec, -1) + 1e-12)
+        target = jnp.take(x, p, 0) + dvec * (rest / nrm)[:, None]
+        x = jnp.where(sel[:, None], target, x)
+    if n_relax > 0:
+        # Jacobi bond-constraint relaxation for the cycle bonds the tree
+        # pass cannot pin (each round: every atom takes the degree-
+        # normalized mean of its bonds' length corrections)
+        bw = bm.astype(x.dtype)
+        rest_e = jnp.sqrt(jnp.sum(
+            (jnp.take(xyz_true, a, 0) - jnp.take(xyz_true, b, 0)) ** 2, -1
+        ) + 1e-12)
+        deg = jnp.zeros(n, x.dtype).at[a].add(bw).at[b].add(bw)
+        movable = ((root_mask <= 0)
+                   & (deg > 0)
+                   & (True if atom_mask is None else atom_mask > 0))
+        inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+        for _ in range(n_relax):
+            dvec = jnp.take(x, a, 0) - jnp.take(x, b, 0)
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, -1) + 1e-12)
+            corr = (bw * (dist - rest_e) / dist)[:, None] * dvec
+            delta = jnp.zeros_like(x).at[a].add(-0.5 * corr).at[b].add(0.5 * corr)
+            x = x + jnp.where(movable[:, None], delta * inv_deg[:, None], 0.0)
+    return x
+
+
 class EquiEncoder(nn.Module):
     """Atom-graph PaiNN encoder with per-layer atom->CG contraction
     (cgvae.py:194-331). Returns (H per-bead, h per-atom).

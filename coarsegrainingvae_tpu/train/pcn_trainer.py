@@ -90,6 +90,7 @@ class PCNTrainer:
         zeta: float = 0.0,
         steric_margin: float = 0.3,
         zeta_warmup: int = 0,
+        bond_project: bool = False,
     ):
         self.model = model
         self.gamma = gamma
@@ -105,6 +106,10 @@ class PCNTrainer:
         self.zeta = zeta
         self.steric_margin = steric_margin
         self.zeta_warmup = int(zeta_warmup or 0)
+        # depth-ordered covalent bond-length projection rooted at the
+        # pinned C-alphas (models/cgvae.py::project_bonds_rooted) --
+        # applies on the training loss AND reconstruct paths
+        self.bond_project = bool(bond_project)
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip), optax.scale_by_adam()
         )
@@ -123,10 +128,20 @@ class PCNTrainer:
             lr=jnp.asarray(self.base_lr, jnp.float32),
         )
 
+    def _project(self, xyz_recon, g, ca_mask):
+        from coarsegrainingvae_tpu.models.cgvae import project_bonds_rooted
+
+        return project_bonds_rooted(
+            xyz_recon, g.xyz, g.bonds, g.bond_mask,
+            jnp.asarray(ca_mask).reshape(-1), g.atom_mask,
+        )
+
     def _loss(self, params, batch: CGBatch, ca_mask, quads, quad_mask,
               aux_scale=1.0, zeta_scale=None):
         out = self.model.apply({"params": params}, batch, ca_mask)
         g = flatten_batch(batch)
+        if self.bond_project:
+            out = out.replace(xyz_recon=self._project(out.xyz_recon, g, ca_mask))
         flat_quads = flatten_ids(quads, batch.n_atoms)  # (B*Q, 4)
         zeta = self.zeta if zeta_scale is None else self.zeta * zeta_scale
         steric_batch = (
@@ -173,7 +188,10 @@ class PCNTrainer:
         return metrics
 
     def _recon_impl(self, params, batch, ca_mask):
-        return self.model.apply({"params": params}, batch, ca_mask).xyz_recon
+        xr = self.model.apply({"params": params}, batch, ca_mask).xyz_recon
+        if self.bond_project:
+            xr = self._project(xr, flatten_batch(batch), ca_mask)
+        return xr
 
     def reconstruct(self, params, batch: CGBatch, ca_mask):
         return self._recon_step(params, batch, jnp.asarray(ca_mask))

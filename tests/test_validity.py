@@ -312,3 +312,53 @@ def test_h_project_diffpool_sample_path():
 
     assert max_xh_err(False) > 1e-2
     assert max_xh_err(True) < 1e-4
+
+
+def test_pcn_bond_project_kills_missing_covalent_bonds():
+    """PCNTrainer(bond_project=True): missing covalent bonds in the
+    reconstruction drop by >40% even on an UNTRAINED model, with the
+    pinned C-alphas untouched. (The synthetic atom14 truth graphs are
+    ~40% cyclic -- a template artifact; tree bonds are projected exactly
+    and cycle bonds only relaxed, so the count shrinks rather than
+    reaching the zero a real tree-like protein graph would.)"""
+    import jax
+    import numpy as np
+
+    from coarsegrainingvae_tpu.cli.run_pcn import load_protein_items
+    from coarsegrainingvae_tpu.config import ModelConfig
+    from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
+    from coarsegrainingvae_tpu.eval.metrics import bond_graphs_batch
+    from coarsegrainingvae_tpu.models.cgvae import PCN
+    from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
+
+    items = load_protein_items(None, 6, 5, "train", 8, 13)
+    ds = build_pcn_dataset(items, cg_cutoff=10.0)
+    cfg = ModelConfig(dec_type="cross", n_basis=32, n_rbf=4,
+                      atom_cutoff=10.0, dec_nconv=1, activation="swish")
+
+    def missing_and_ca(bond_project):
+        tr = PCNTrainer(PCN(cfg=cfg), gamma=1.0, kappa=0.0, lr=1e-3,
+                        seed=3, bond_project=bond_project)
+        b, cam, _, _ = next(ds.iter_batches(2))
+        state = tr.init_state(b, cam)
+        recon = np.asarray(jax.device_get(
+            tr.reconstruct(state.params, b, cam)
+        )).reshape(b.z.shape[0], b.z.shape[1], 3)
+        missing = 0
+        for i in range(2):
+            m = np.asarray(b.atom_mask[i]).astype(bool)
+            true = np.asarray(b.xyz[i])
+            z = np.asarray(b.z[i])
+            gt = bond_graphs_batch(true[None, m], z[m])[0]
+            gr = bond_graphs_batch(recon[i][None, m], z[m])[0]
+            missing += int(((gt == 1) & (gr == 0)).sum() // 2)
+        # pinned C-alphas: reconstruct returns them at the true positions
+        ca = np.asarray(cam[0]).astype(bool)
+        ca_err = np.abs(recon[0][ca] - np.asarray(b.xyz[0])[ca]).max()
+        return missing, ca_err
+
+    miss_off, _ = missing_and_ca(False)
+    miss_on, ca_err = missing_and_ca(True)
+    assert miss_off > 0
+    assert miss_on < 0.6 * miss_off, (miss_on, miss_off)
+    assert ca_err < 1e-3

@@ -345,6 +345,15 @@ class DiffPoolTrainer:
         stopper = EarlyStopping(patience=patience)
         shuffle_rng = np.random.default_rng(self.seed)
         base_rng = jax.random.PRNGKey(self.seed)
+        # while a warmup ramp is ACTIVE the tracked loss moves because the
+        # objective moves, not because training plateaued -- feeding those
+        # epochs to the plateau controller collapses the LR to the floor
+        # before the ramp ends (measured: the v5 graph_warmup retrain hit
+        # lr=2e-6 by epoch 191 at recon 0.63 vs v2's 0.21). Hold the
+        # controller/stopper until every step ramp has finished.
+        steps_per_epoch = max(len(trainset) // batch_size, 1)
+        warm_steps = max(self.zeta_warmup, self.graph_warmup)
+        warm_epochs = -(-warm_steps // steps_per_epoch) if warm_steps else 0
         history = []
         for epoch in range(nepochs):
             t0 = time.time()
@@ -355,7 +364,10 @@ class DiffPoolTrainer:
             _, val_m = self.run_epoch(
                 state, valset, jax.random.fold_in(rng, 999), batch_size, train=False
             )
-            smoothed = controller.step(val_m["loss"])
+            if epoch >= warm_epochs:
+                smoothed = controller.step(val_m["loss"])
+            else:
+                smoothed = val_m["loss"]
             state = state.replace(lr=jnp.asarray(controller.lr, jnp.float32))
             row = {
                 "epoch": epoch, "lr": controller.lr,
@@ -370,7 +382,8 @@ class DiffPoolTrainer:
                 log_fn(row)
             if controller.converged:
                 break
-            stopper(smoothed)
+            if epoch >= warm_epochs:
+                stopper(smoothed)
             if stopper.early_stop or not np.isfinite(val_m["recon"]):
                 break
         return state, history

@@ -249,6 +249,14 @@ class PCNTrainer:
         # host copies: the train step donates its input state, so holding a
         # device reference across epochs would alias invalidated buffers
         best_params = jax.device_get(state.params)
+        # hold controller/stopper/best-val tracking while the warmup ramps
+        # are active (aux_warmup counts EPOCHS, zeta_warmup counts STEPS):
+        # the tracked loss moves because the objective moves
+        steps_per_epoch = max(len(trainset) // max(batch_size, 1), 1)
+        warm_epochs = max(
+            int(self.aux_warmup or 0),
+            -(-int(self.zeta_warmup or 0) // steps_per_epoch),
+        )
         for epoch in range(nepochs):
             t0 = time.time()
             aux = (min(1.0, (epoch + 1) / self.aux_warmup)
@@ -258,7 +266,10 @@ class PCNTrainer:
                 shuffle_rng=shuffle_rng, aux_scale=aux,
             )
             _, val_m = self.run_epoch(state, valset, batch_size, train=False)
-            smoothed = controller.step(val_m["loss"])
+            if epoch >= warm_epochs:
+                smoothed = controller.step(val_m["loss"])
+            else:
+                smoothed = val_m["loss"]
             state = state.replace(lr=jnp.asarray(controller.lr, jnp.float32))
             row = {
                 "epoch": epoch, "lr": controller.lr,
@@ -271,12 +282,18 @@ class PCNTrainer:
             history.append(row)
             if log_fn is not None:
                 log_fn(row)
-            if np.isfinite(val_m["loss"]) and val_m["loss"] < best_val:
+            if (epoch >= warm_epochs and np.isfinite(val_m["loss"])
+                    and val_m["loss"] < best_val):
                 best_val = val_m["loss"]
                 best_params = jax.device_get(state.params)
             if controller.converged:
                 break
-            stopper(smoothed)
+            if epoch >= warm_epochs:
+                stopper(smoothed)
             if stopper.early_stop or not np.isfinite(val_m["recon"]):
                 break
+        if not np.isfinite(best_val):
+            # run ended inside the warmup window: the final params are the
+            # best-known (best-val tracking only starts post-warmup)
+            best_params = jax.device_get(state.params)
         return state.replace(params=best_params), history

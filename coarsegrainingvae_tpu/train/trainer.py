@@ -559,6 +559,18 @@ class Trainer:
         base_rng = jax.random.PRNGKey(self.cfg.data.seed)
         history = []
         start_epoch = 0
+        # hold the plateau controller/stopper while a step-warmup ramp is
+        # active: the tracked loss moves because the OBJECTIVE moves, and
+        # reacting to it collapses the LR before the ramp ends (measured
+        # on the diffpool graph_warmup retrain; same hazard here)
+        steps_per_epoch = max(
+            len(trainset) // max(self.cfg.data.batch_size, 1), 1
+        )
+        warm_steps = max(
+            int(getattr(tc, "zeta_warmup", 0) or 0),
+            int(getattr(tc, "lr_warmup", 0) or 0),
+        )
+        warm_epochs = -(-warm_steps // steps_per_epoch) if warm_steps else 0
 
         dds_train = dds_val = None
         if on_device:
@@ -605,7 +617,10 @@ class Trainer:
                     state, valset, jax.random.fold_in(epoch_rng, 999),
                     train=False,
                 )
-            smoothed = controller.step(val_m["loss"])
+            if epoch >= warm_epochs:
+                smoothed = controller.step(val_m["loss"])
+            else:
+                smoothed = val_m["loss"]
             state = self.set_lr(state, controller.lr)
             row = {
                 "epoch": epoch,
@@ -628,7 +643,8 @@ class Trainer:
             stop = False
             if controller.converged:
                 stop = True
-            stopper(smoothed)
+            if epoch >= warm_epochs:
+                stopper(smoothed)
             if stopper.early_stop:
                 stop = True
             if not np.isfinite(val_m["recon"]):

@@ -450,3 +450,36 @@ def test_pcn_zeta_parity_and_training():
         s1b, m1 = ext._train_step(s1b, batch, ca, quads, quad_mask, 1.0)
     assert np.isfinite(float(m1["loss"]))
     assert float(m1["loss"]) >= float(m1["recon"])
+
+
+def test_warmup_holds_plateau_controller():
+    """While a step-warmup ramp is active, fit() must NOT feed the plateau
+    controller (the objective is moving, not plateauing): the LR stays at
+    base through the warm epochs even with lr_patience=1. Measured
+    failure this guards: the diffpool graph_warmup retrain collapsed to
+    lr=2e-6 by epoch 191 while recon was still 3x off."""
+    from coarsegrainingvae_tpu.config import DiffPoolConfig
+    from coarsegrainingvae_tpu.data.diffpool import build_diffpool_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+    from coarsegrainingvae_tpu.train.diffpool_trainer import DiffPoolTrainer
+
+    z, frames, bonds = synthetic_peptide("dipeptide", n_frames=24, seed=3)
+    ds = build_diffpool_dataset(frames, z, bonds)
+    cfg = DiffPoolConfig(
+        n_atoms=z.shape[0], n_cgs=3, feat_dim=16, n_rbf=4,
+        atom_cutoff=8.0, cg_cutoff=30.0, pool_nconv=1, enc_nconv=1,
+        dec_nconv=1, tau_0=2.0, tau_min=0.3, tau_rate=0.004,
+        trainable_map=True,
+    )
+    tables = build_steric_tables(z, bonds)
+    ds_tr = ds.subset(np.arange(16))
+    ds_val = ds.subset(np.arange(16, 24))
+    # 3 epochs' worth of warmup steps (16//8 = 2 steps/epoch)
+    tr = DiffPoolTrainer(cfg, beta=0.01, gamma=1.0, lr=1e-3, seed=7,
+                         zeta=5.0, steric_tables=tables, zeta_warmup=6)
+    state = tr.init_state(ds_tr.batch(np.arange(8)))
+    _, hist = tr.fit(state, ds_tr, ds_val, nepochs=4, batch_size=8,
+                     patience=50, lr_patience=1, lr_factor=0.1,
+                     min_lr=1e-9)
+    lrs = [h["lr"] for h in hist]
+    assert all(lr == 1e-3 for lr in lrs[:3]), lrs

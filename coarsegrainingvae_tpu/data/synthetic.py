@@ -190,19 +190,35 @@ def relax_frames(
     import jax
     import jax.numpy as jnp
 
-    bonded, cutoff = _bond_masks(z, bonds)
-    nb_target = jnp.asarray(margin * cutoff * (~bonded), jnp.float32)
+    from coarsegrainingvae_tpu.eval.metrics import COVALENT_RADII
+
+    # Keep only O(N)/O(Eb) CONSTANTS in the jitted program: the former
+    # (N, N) nb_target/eye tables got baked into the compile payload,
+    # which at spike scale (9.5k atoms -> ~720 MB of f32 tables) exceeds
+    # the TPU tunnel's remote-compile request limit (HTTP 413). The pair
+    # threshold margin*1.3*(r_i + r_j) is an outer sum of the (N,) radii,
+    # computed on device; bonded pairs and the diagonal are zeroed by
+    # O(Eb) scatters + an iota mask.
+    radii = jnp.asarray(
+        [COVALENT_RADII[int(s)] for s in z], jnp.float32
+    )
     bi = jnp.asarray(bonds[:, 0])
     bj = jnp.asarray(bonds[:, 1])
     rest_j = jnp.asarray(rest, jnp.float32)
-    eye = jnp.eye(z.shape[0], dtype=jnp.float32)
 
     @jax.jit
     def run(x0):
+        n = radii.shape[0]
+        thr = 1.3 * margin * (radii[:, None] + radii[None, :])
+        thr = thr.at[bi, bj].set(0.0).at[bj, bi].set(0.0)
+        ii = jnp.arange(n)
+        thr = thr.at[ii, ii].set(0.0)
+        eye = (ii[:, None] == ii[None, :]).astype(jnp.float32)
+
         def body(it, x):
             diff = x[:, :, None, :] - x[:, None, :, :]
             d = jnp.sqrt((diff**2).sum(-1) + eye)
-            nb_viol = jnp.maximum(nb_target[None] - d, 0.0)
+            nb_viol = jnp.maximum(thr[None] - d, 0.0)
             force = ((nb_viol / d)[..., None] * diff).sum(2)
             dbond = d[:, bi, bj]
             fb = ((dbond - rest_j) / dbond)[..., None] * diff[:, bi, bj]

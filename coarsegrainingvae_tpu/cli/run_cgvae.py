@@ -133,6 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "its covalent bond length along the decoded "
                         "direction (repo extension targeting the missing-"
                         "X-H validity failures; default off = reference)")
+    p.add_argument("--h_project_eval", action="store_true", default=False,
+                   help="EVAL-ONLY h_project: reference training dynamics, "
+                        "projected reconstruct/generate outputs")
     return p
 
 
@@ -157,6 +160,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
             det=a.det, sparse=getattr(a, "sparse", False),
             degree_norm=getattr(a, "degree_norm", False),
             h_project=getattr(a, "h_project", False),
+            h_project_eval=getattr(a, "h_project_eval", False),
             message_impl=a.message_impl, pseudo_impl=a.pseudo_impl,
         ),
         data=DataConfig(

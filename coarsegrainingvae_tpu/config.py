@@ -45,6 +45,9 @@ class ModelConfig:
     # project_h_bonds). Opt-in extension, no reference analogue; default
     # False = reference loss/metric surface
     h_project: bool = False
+    # eval-only variant: the training loss sees the raw decoder (reference
+    # dynamics untouched); reconstruct/generate outputs get the projection
+    h_project_eval: bool = False
     dropout: float = 0.0
     # force the sparse (segment-sum) formulation even where the dense
     # regime applies; persisted so a finished run reloads with the SAME

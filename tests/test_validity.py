@@ -362,3 +362,53 @@ def test_pcn_bond_project_kills_missing_covalent_bonds():
     assert miss_off > 0
     assert miss_on < 0.6 * miss_off, (miss_on, miss_off)
     assert ca_err < 1e-3
+
+
+def test_h_project_eval_only(small_dataset):
+    """h_project_eval: the TRAINING step is bit-identical to the baseline
+    (reference dynamics), while trainer.reconstruct output carries exact
+    X-H bond lengths."""
+    import jax
+
+    from coarsegrainingvae_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from coarsegrainingvae_tpu.models.cgvae import CGequiVAE, flatten_batch
+    from coarsegrainingvae_tpu.parallel.mesh import make_mesh
+    from coarsegrainingvae_tpu.train.trainer import Trainer
+
+    def mk(h_eval):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                n_cgs=3, n_basis=16, n_rbf=4, atom_cutoff=8.5, cg_cutoff=9.5,
+                enc_nconv=1, dec_nconv=1, dec_type="pseudo", breaksym=True,
+                compute_dtype="float32", h_project_eval=h_eval,
+            ),
+            data=DataConfig(batch_size=4, seed=0),
+            train=TrainConfig(nepochs=1, lr=1e-3, beta=0.05, gamma=1.0),
+        )
+        return Trainer(CGequiVAE(cfg=cfg.model), cfg, mesh=make_mesh(1))
+
+    batch = small_dataset.batch(np.arange(4))
+    rng = jax.random.PRNGKey(0)
+    t0, t1 = mk(False), mk(True)
+    s0 = t0.init_state(batch, seed=0)
+    s1 = t1.init_state(batch, seed=0)
+    n0, m0 = t0.train_step(s0, batch, rng)
+    n1, m1 = t1.train_step(s1, batch, rng)
+    assert float(m0["loss"]) == float(m1["loss"])  # training untouched
+
+    xr = np.asarray(jax.device_get(t1.reconstruct(n1.params, batch, rng)))
+    g = flatten_batch(batch)
+    z = np.asarray(g.z)
+    bonds = np.asarray(g.bonds)
+    bm = np.asarray(g.bond_mask) > 0
+    true = np.asarray(g.xyz)
+    d_true = np.linalg.norm(true[bonds[:, 0]] - true[bonds[:, 1]], axis=-1)
+    xh = ((z[bonds[:, 0]] == 1) ^ (z[bonds[:, 1]] == 1)) & bm
+    h_of = np.where(z[bonds[:, 0]] == 1, bonds[:, 0], bonds[:, 1])
+    min_rest = np.full(len(z), np.inf)
+    np.minimum.at(min_rest, h_of[xh], d_true[xh])
+    sel = xh & (d_true <= min_rest[h_of] + 1e-6)
+    d_rec = np.linalg.norm(xr[bonds[sel, 0]] - xr[bonds[sel, 1]], axis=-1)
+    assert np.abs(d_rec - d_true[sel]).max() < 1e-4

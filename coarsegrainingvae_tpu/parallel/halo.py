@@ -166,8 +166,12 @@ def halo_message(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sparse message pass (models/conv.py block, e.g.
     EquiMessageBlock) over atom-sharded inputs. Inputs are in the plan's
-    sharded (spatially sorted) order -- apply `plan.order` host-side once
-    per dataset. Returns (ds, dv) with the same (N, ...) sharded order.
+    sharded (spatially sorted) order -- apply `plan.pad` host-side once
+    per dataset (for N divisible by n_shards it reduces to `x[plan.order]`;
+    for uneven N it also zero-fills the ghost rows -- indexing with
+    plan.order directly would hit the ghost sentinel). Returns (ds, dv)
+    with the same sharded order; recover original order via
+    `out[plan.inv_order]`.
     """
     h, p_sz, d = plan.halo, plan.shard_size, plan.n_shards
     edges = jnp.asarray(plan.edges)

@@ -32,7 +32,9 @@ class Backmapper:
     """Jitted CG -> all-atom generator around a trained CGequiVAE/DenseCGVAE."""
 
     def __init__(self, model, params, mapping: np.ndarray,
-                 atomic_nums: np.ndarray, cfg: ExperimentConfig):
+                 atomic_nums: np.ndarray, cfg: ExperimentConfig,
+                 bonds: Optional[np.ndarray] = None,
+                 ref_xyz: Optional[np.ndarray] = None):
         self.model = model
         self.params = params
         self.mapping = np.asarray(mapping, np.int32)
@@ -41,6 +43,27 @@ class Backmapper:
         self.n_atoms = self.mapping.shape[0]
         self.n_cgs = int(self.mapping.max()) + 1
         self.channel_idx = channel_index_from_mapping(self.mapping)
+        # covalent bonds + one reference frame: the H bond-length
+        # projection (ModelConfig.h_project / h_project_eval) reads bond
+        # LENGTHS (chemical constants) from a true geometry -- without
+        # them a projection-trained model would silently serve raw
+        # (unprojected) hydrogens
+        self.bonds = None if bonds is None else np.asarray(bonds, np.int32)
+        self.ref_xyz = (
+            None if ref_xyz is None else np.asarray(ref_xyz, np.float32)
+        )
+        wants_proj = getattr(cfg.model, "h_project", False) or getattr(
+            cfg.model, "h_project_eval", False
+        )
+        if wants_proj and (self.bonds is None or self.ref_xyz is None):
+            import warnings
+
+            warnings.warn(
+                "Backmapper: the run config enables H bond-length "
+                "projection but no bonds/ref_xyz were provided -- served "
+                "ensembles will carry RAW decoder hydrogens",
+                RuntimeWarning,
+            )
         self._gen = jax.jit(
             lambda p, batch, rng: self.model.apply(
                 {"params": p}, batch, method=self.model.generate,
@@ -81,7 +104,8 @@ class Backmapper:
         mgr = CheckpointManager(os.path.join(fold_dir, "ckpt"))
         state, _, _ = mgr.restore(template)
         mgr.close()
-        return cls(model, state.params, mapping, z, cfg)
+        return cls(model, state.params, mapping, z, cfg,
+                   bonds=bonds, ref_xyz=frames[0])
 
     # ------------------------------------------------------------ inference
     def _make_batch(self, cg_xyz: np.ndarray) -> CGBatch:
@@ -97,9 +121,17 @@ class Backmapper:
             max_edges=max(m * (m - 1), 1), directed=True,
         )
         tile = lambda a: np.broadcast_to(a, (b,) + a.shape)
+        xyz = (tile(self.ref_xyz) if self.ref_xyz is not None
+               else np.zeros((b, n, 3), np.float32))
+        if self.bonds is not None and len(self.bonds):
+            bonds_b = tile(self.bonds)
+            bond_mask = np.ones((b, self.bonds.shape[0]), bool)
+        else:
+            bonds_b = np.zeros((b, 1, 2), np.int32)
+            bond_mask = np.zeros((b, 1), bool)
         return CGBatch(
             z=tile(self.z),
-            xyz=np.zeros((b, n, 3), np.float32),
+            xyz=xyz,
             atom_mask=np.ones((b, n), bool),
             cg_z=tile(np.arange(m, dtype=np.int32)),
             cg_xyz=cg_xyz,
@@ -110,8 +142,8 @@ class Backmapper:
             nbr_mask=np.zeros((b, 1), bool),
             cg_nbrs=cg_nbrs,
             cg_nbr_mask=cg_mask,
-            bonds=np.zeros((b, 1, 2), np.int32),
-            bond_mask=np.zeros((b, 1), bool),
+            bonds=bonds_b,
+            bond_mask=bond_mask,
         )
 
     def backmap(
@@ -127,10 +159,25 @@ class Backmapper:
         frames = cg_xyz[None] if single else cg_xyz
         rng = jax.random.PRNGKey(seed)
 
+        apply_eval_proj = (
+            getattr(self.cfg.model, "h_project_eval", False)
+            and self.bonds is not None and self.ref_xyz is not None
+        )
         outs = []
         for k, frame in enumerate(frames):
             batch = self._make_batch(np.repeat(frame[None], n_samples, axis=0))
             xyz = self._gen(self.params, batch, jax.random.fold_in(rng, k))
+            if apply_eval_proj:
+                from coarsegrainingvae_tpu.models.cgvae import (
+                    flatten_batch,
+                    project_h_bonds,
+                )
+
+                g = flatten_batch(batch)
+                xyz = project_h_bonds(
+                    jnp.asarray(xyz).reshape(-1, 3), g.z, g.xyz,
+                    g.bonds, g.bond_mask,
+                )
             outs.append(
                 np.asarray(jax.device_get(xyz)).reshape(n_samples, self.n_atoms, 3)
             )

@@ -352,7 +352,12 @@ class DiffPoolTrainer:
         # lr=2e-6 by epoch 191 at recon 0.63 vs v2's 0.21). Hold the
         # controller/stopper until every step ramp has finished.
         steps_per_epoch = max(len(trainset) // batch_size, 1)
-        warm_steps = max(self.zeta_warmup, self.graph_warmup)
+        # only ACTIVE ramps count (a zeta_warmup with zeta=0, or a
+        # graph_warmup without --graph_grad, ramps nothing)
+        warm_steps = max(
+            self.zeta_warmup if (self.zeta and self.steric_tables) else 0,
+            self.graph_warmup if self.graph_grad else 0,
+        )
         warm_epochs = -(-warm_steps // steps_per_epoch) if warm_steps else 0
         history = []
         for epoch in range(nepochs):

@@ -255,7 +255,8 @@ class PCNTrainer:
         steps_per_epoch = max(len(trainset) // max(batch_size, 1), 1)
         warm_epochs = max(
             int(self.aux_warmup or 0),
-            -(-int(self.zeta_warmup or 0) // steps_per_epoch),
+            (-(-int(self.zeta_warmup or 0) // steps_per_epoch)
+             if self.zeta else 0),
         )
         for epoch in range(nepochs):
             t0 = time.time()
@@ -282,8 +283,11 @@ class PCNTrainer:
             history.append(row)
             if log_fn is not None:
                 log_fn(row)
-            if (epoch >= warm_epochs and np.isfinite(val_m["loss"])
-                    and val_m["loss"] < best_val):
+            # best-val tracks EVERY epoch: _eval_step_impl scores validation
+            # under the FULL objective (aux_scale=1, unwarmed zeta), so
+            # warmup-epoch val losses are directly comparable -- only the
+            # controller/stopper need the warmup hold
+            if np.isfinite(val_m["loss"]) and val_m["loss"] < best_val:
                 best_val = val_m["loss"]
                 best_params = jax.device_get(state.params)
             if controller.converged:
@@ -292,8 +296,4 @@ class PCNTrainer:
                 stopper(smoothed)
             if stopper.early_stop or not np.isfinite(val_m["recon"]):
                 break
-        if not np.isfinite(best_val):
-            # run ended inside the warmup window: the final params are the
-            # best-known (best-val tracking only starts post-warmup)
-            best_params = jax.device_get(state.params)
         return state.replace(params=best_params), history

@@ -588,7 +588,8 @@ class Trainer:
             len(trainset) // max(self.cfg.data.batch_size, 1), 1
         )
         warm_steps = max(
-            int(getattr(tc, "zeta_warmup", 0) or 0),
+            (int(getattr(tc, "zeta_warmup", 0) or 0)
+             if (tc.zeta and self.steric_tables is not None) else 0),
             int(getattr(tc, "lr_warmup", 0) or 0),
         )
         warm_epochs = -(-warm_steps // steps_per_epoch) if warm_steps else 0
@@ -643,9 +644,16 @@ class Trainer:
             else:
                 smoothed = val_m["loss"]
             state = self.set_lr(state, controller.lr)
+            # log the EFFECTIVE end-of-epoch LR: during an lr_warmup ramp
+            # the applied LR is controller.lr * min(step/N, 1), and the
+            # per-epoch CSV is the artifact LR-schedule diagnoses read
+            lr_warm = int(getattr(tc, "lr_warmup", 0) or 0)
+            lr_eff = controller.lr
+            if lr_warm > 0:
+                lr_eff *= min(((epoch + 1) * steps_per_epoch) / lr_warm, 1.0)
             row = {
                 "epoch": epoch,
-                "lr": controller.lr,
+                "lr": lr_eff,
                 "train_loss": train_m["loss"],
                 "val_loss": val_m["loss"],
                 "train_recon": train_m["recon"],

@@ -46,7 +46,9 @@ def census(recon, z, bonds, top=12):
     diff = gen != ref[None]
 
     def lab(i):
-        return f"{_ELEM.get(int(z[i]), str(int(z[i])))}{i}"
+        # single-letter fallback keeps the digits = atom index invariant
+        # that data_margins' idx() parser relies on
+        return f"{_ELEM.get(int(z[i]), 'X')}{i}"
     out = {
         "frames": int(recon.shape[0]),
         "all_valid_ratio": float((diff.sum((1, 2)) == 0).mean()),

@@ -84,3 +84,43 @@ def test_backmap_roundtrip_from_run(tmp_path, trained):
     np.testing.assert_allclose(
         ens, bm2.backmap(np.asarray(ds.cg_xyz[0]), n_samples=2), atol=1e-5
     )
+
+
+def test_backmap_h_projection_serving(trained):
+    """A projection-enabled config serves projected hydrogens when bonds +
+    a reference frame are supplied (and warns when they are not)."""
+    import dataclasses
+    import warnings
+
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_peptide
+
+    model, params, mapping, z, cfg, ds = trained
+    z_full, frames, bonds = synthetic_peptide("dipeptide", n_frames=2, seed=0)
+    cfg_p = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, h_project_eval=True)
+    )
+    bm = Backmapper(model, params, mapping, z, cfg_p,
+                    bonds=bonds, ref_xyz=frames[0])
+    cg = np.asarray(ds.cg_xyz[0])
+    ens = bm.backmap(cg, n_samples=2, seed=1)
+
+    parent = {}
+    for a, b in bonds:
+        if z[a] == 1 and z[b] != 1:
+            parent[int(a)] = int(b)
+        if z[b] == 1 and z[a] != 1:
+            parent[int(b)] = int(a)
+    hs = np.array(sorted(parent))
+    ps = np.array([parent[h] for h in hs])
+    rest = np.linalg.norm(frames[0][hs] - frames[0][ps], axis=-1)
+    d = np.linalg.norm(ens[:, hs] - ens[:, ps], axis=-1)
+    assert np.abs(d - rest[None]).max() < 1e-4
+
+    # without bonds/ref the constraint cannot apply: warn, serve raw
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bm_raw = Backmapper(model, params, mapping, z, cfg_p)
+        assert any("RAW decoder hydrogens" in str(x.message) for x in w)
+    ens_raw = bm_raw.backmap(cg, n_samples=2, seed=1)
+    d_raw = np.linalg.norm(ens_raw[:, hs] - ens_raw[:, ps], axis=-1)
+    assert np.abs(d_raw - rest[None]).max() > 1e-3

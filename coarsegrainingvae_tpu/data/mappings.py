@@ -331,6 +331,48 @@ def nearest_site_mapping(
     return mapping
 
 
+def repair_mapping(
+    mapping: np.ndarray, frames: np.ndarray, n_cgs: int
+) -> np.ndarray:
+    """Fill empty CG beads by splitting the largest populated beads.
+
+    The gumbel-softmax mapping learner (learn_map) rarely populates every
+    bead once n_cgs is large (hundreds of beads at protein scale: many
+    assignment columns never win an argmax). The reference's answer is an
+    unbounded retry loop (run_ala.py:170-174), which simply never
+    terminates in that regime. Instead: for each empty bead, take the
+    currently largest bead, find its atom farthest from the bead centroid
+    (on the first frame), and move that atom plus every bead-mate closer
+    to it than to the centroid into the empty bead — a farthest-point
+    bipartition that both populates the bead and reduces the worst-case
+    atoms-per-bead (which the channel lift's n_basis bound cares about).
+    Deterministic; O(n_empty * N).
+    """
+    mapping = np.asarray(mapping).astype(np.int32).copy()
+    xyz = np.asarray(frames, np.float32)[0]
+    sizes = np.bincount(mapping, minlength=n_cgs)
+    for empty in np.where(sizes == 0)[0]:
+        donor = int(sizes.argmax())
+        members = np.where(mapping == donor)[0]
+        if members.size < 2:  # nothing left to split (n_cgs > n_atoms)
+            raise RuntimeError(
+                f"cannot repair mapping: {n_cgs} beads for {mapping.size} atoms"
+            )
+        centroid = xyz[members].mean(axis=0)
+        d_cen = np.linalg.norm(xyz[members] - centroid, axis=-1)
+        far = xyz[members[d_cen.argmax()]]
+        d_far = np.linalg.norm(xyz[members] - far, axis=-1)
+        moved = members[d_far < d_cen]
+        if moved.size == 0:  # degenerate geometry (all members coincide)
+            moved = members[d_cen.argmax() : d_cen.argmax() + 1]
+        elif moved.size == members.size:  # keep the donor populated
+            moved = np.delete(moved, d_cen.argmin())
+        mapping[moved] = empty
+        sizes[donor] -= moved.size
+        sizes[empty] += moved.size
+    return mapping
+
+
 def get_mapping(
     method: str,
     n_cgs: int,
@@ -394,11 +436,18 @@ def get_mapping(
         from coarsegrainingvae_tpu.models.cgae import learn_map
 
         assert frames is not None
+        best, best_empty = None, n_cgs + 1
         for attempt in range(10):
             mapping = learn_map(frames, n_cgs, seed=seed + attempt)
-            if np.unique(mapping).size == n_cgs:
+            n_empty = n_cgs - np.unique(mapping).size
+            if n_empty == 0:
                 return mapping
-        raise RuntimeError(
-            f"cgae mapping degenerate after 10 attempts (wanted {n_cgs} beads)"
-        )
+            if n_empty < best_empty:
+                best, best_empty = mapping, n_empty
+            if attempt >= 2 and best_empty > max(1, n_cgs // 100):
+                # hundreds-of-beads regime: argmax assignment essentially
+                # never populates every bead, so further retries are wasted
+                # compute -- go straight to the deterministic repair
+                break
+        return repair_mapping(best, frames, n_cgs)
     raise ValueError(f"mapping method {method!r} not handled here")

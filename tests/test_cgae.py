@@ -65,3 +65,49 @@ def test_get_mapping_cgae_dispatch():
     mapping = get_mapping("cgae", 3, z.shape[0], bonds=bonds, frames=frames, seed=0)
     assert mapping.shape == (z.shape[0],)
     assert np.unique(mapping).size == 3
+
+
+def test_repair_mapping_fills_empty_beads():
+    from coarsegrainingvae_tpu.data.mappings import repair_mapping
+
+    rng = np.random.default_rng(0)
+    n, k = 200, 16
+    frames = rng.normal(size=(2, n, 3)).astype(np.float32) * 5.0
+    # degenerate: only beads 0..3 populated out of 16
+    mapping = rng.integers(0, 4, size=n).astype(np.int32)
+    repaired = repair_mapping(mapping, frames, k)
+    sizes = np.bincount(repaired, minlength=k)
+    assert (sizes > 0).all()
+    # splitting the largest beads must not grow the worst case
+    assert sizes.max() <= np.bincount(mapping, minlength=k).max()
+    # deterministic
+    np.testing.assert_array_equal(repaired, repair_mapping(mapping, frames, k))
+
+
+def test_repair_mapping_more_beads_than_atoms_raises():
+    import pytest
+
+    from coarsegrainingvae_tpu.data.mappings import repair_mapping
+
+    frames = np.zeros((1, 3, 3), np.float32)
+    with pytest.raises(RuntimeError):
+        repair_mapping(np.zeros(3, np.int32), frames, 5)
+
+
+def test_get_mapping_cgae_repairs_degenerate(monkeypatch):
+    """At large n_cgs learn_map essentially never populates every bead;
+    the dispatch must repair instead of raising (covid spike regression)."""
+    import coarsegrainingvae_tpu.data.mappings as mp
+
+    n, k = 120, 30
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(2, n, 3)).astype(np.float32)
+
+    def fake_learn_map(frames, n_cgs, seed=0, **kw):
+        return np.random.default_rng(seed).integers(0, 5, size=n).astype(np.int32)
+
+    monkeypatch.setattr(
+        "coarsegrainingvae_tpu.models.cgae.learn_map", fake_learn_map
+    )
+    mapping = mp.get_mapping("cgae", k, n, frames=frames, seed=0)
+    assert np.unique(mapping).size == k

@@ -29,7 +29,8 @@ from coarsegrainingvae_tpu.utils.pdb import write_pdb
 
 
 def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train",
-                       min_res: int = 6, max_res: int = 14):
+                       min_res: int = 6, max_res: int = 14,
+                       well_posed: bool = False):
     """Items = (seq, crd) tuples. Resolution: a pickle of
     {'seq': [...], 'crd': [...]} (the generate_pkl.py cache format), a raw
     SidechainNet dataset (pickle of split dicts, or a casp spec resolved by
@@ -49,7 +50,8 @@ def load_protein_items(path: str, n: int, seed: int, scn_split: str = "train",
         return load_sidechainnet(path, split=scn_split, n_data=n)
     rng = np.random.default_rng(seed)
     return [
-        synthetic_protein(int(rng.integers(min_res, max_res)), seed=seed + i)
+        synthetic_protein(int(rng.integers(min_res, max_res)), seed=seed + i,
+                          well_posed=well_posed)
         for i in range(n)
     ]
 
@@ -101,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "rooted at the pinned C-alphas (repo extension, "
                         "models/cgvae.py::project_bonds_rooted; default "
                         "off = reference)")
+    p.add_argument("--well_posed_data", action="store_true", default=False,
+                   help="relax synthetic stand-in proteins against their "
+                        "intended covalent topology so truth bond graphs "
+                        "are trees and exact graph recovery (GED 0) is "
+                        "achievable (synthetic.py::synthetic_protein); "
+                        "default off = round-3/4 A/B data, which is ~40%% "
+                        "cyclic")
     p.add_argument("-min_res", type=int, default=6,
                    help="synthetic stand-in protein length range")
     p.add_argument("-max_res", type=int, default=14)
@@ -121,7 +130,7 @@ def main(argv=None):
         json.dump(vars(a), f, indent=2)
 
     items = load_protein_items(a.data_pkl, a.ndata, a.seed, a.scn_split,
-                               a.min_res, a.max_res)
+                               a.min_res, a.max_res, a.well_posed_data)
     ds = build_pcn_dataset(items, cg_cutoff=a.cutoff)
     n = len(ds)
     n_test = max(n // 5, 1)

@@ -511,7 +511,7 @@ def _sidechain_template(aa: str) -> np.ndarray:
 
 def synthetic_protein(
     n_res: int, seed: int = 0, missing_frac: float = 0.0,
-    noise: float = 0.06,
+    noise: float = 0.06, well_posed: bool = False,
 ) -> Tuple[str, np.ndarray]:
     """Random protein in the atom14 layout for testing the PCN path without
     SidechainNet: (seq, crd (n_res, 14, 3)).
@@ -524,6 +524,17 @@ def synthetic_protein(
     function of (sequence, C-alpha trace), which is exactly the PCN task
     (reference run_pdb.py). missing_frac randomly zeroes sidechain atoms
     (SidechainNet items have missing coordinates; zero rows = 'absent').
+
+    well_posed=True additionally relaxes the structure (relax_frames)
+    against its INTENDED covalent topology (backbone chain + linear
+    sidechain chains + peptide bonds) so the coordinate-derived
+    covalent-cutoff bond graph (bond_graph_from_coords, same rule as the
+    reference's truth graphs at sidechain.py:148-156) equals that topology
+    exactly -- a tree. The raw generator leaves template atom pairs and
+    O(i)..N(i+1) backbone pairs inside covalent cutoffs, which makes ~40%
+    of truth graphs cyclic and exact bond-graph recovery (GED 0) literally
+    impossible for any model. Default False preserves the round-3/4 PCN
+    A/B data bit-exactly.
     """
     from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14, AMINO_ACIDS
 
@@ -576,8 +587,175 @@ def synthetic_protein(
             crd[i, slot] = ca[i] + offs[slot] @ frame
         present = np.array([bool(nm) for nm in names])
         crd[i, present] += noise * rng.normal(size=(int(present.sum()), 3))
-        if missing_frac > 0:
+        if missing_frac > 0 and not well_posed:
             for slot in range(4, 14):
                 if names[slot] and rng.random() < missing_frac:
                     crd[i, slot] = 0.0
+    if well_posed:
+        crd = _relax_protein_atom14(seq, crd)
+        if missing_frac > 0:  # zero AFTER relaxing (zero rows = absent)
+            for i, aa in enumerate(seq):
+                names = ATOM_MAP_14[aa]
+                for slot in range(4, 14):
+                    if names[slot] and rng.random() < missing_frac:
+                        crd[i, slot] = 0.0
     return seq, crd
+
+
+# element -> atomic number for atom14 atom-name first characters
+_NAME2Z = {"N": 7, "C": 6, "O": 8, "S": 16}
+
+
+def intended_atom14_bonds(seq: str) -> "list[tuple[int, int, int, int]]":
+    """Covalent topology the synthetic generator MEANS to draw, as
+    ((res_i, slot_i), (res_j, slot_j)) pairs flattened to 4-tuples:
+    backbone N-CA-C(-O), CA-CB, linear sidechain slot chains, and the
+    peptide C(i)-N(i+1) links."""
+    from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14
+
+    out = []
+    for i, aa in enumerate(seq):
+        names = ATOM_MAP_14[aa]
+        out += [(i, 0, i, 1), (i, 1, i, 2), (i, 2, i, 3)]
+        prev_slot = 1  # sidechain chain grows off the C-alpha
+        for slot in range(4, 14):
+            if not names[slot]:
+                break
+            out.append((i, prev_slot, i, slot))
+            prev_slot = slot
+        if i + 1 < len(seq):
+            out.append((i, 2, i + 1, 0))  # peptide bond
+    return out
+
+
+def _relax_atom14_impl(x0, radii, bi, bj, rest, margin, n_iter=300):
+    """Single-structure relax with every array traced: one XLA compilation
+    serves every protein whose (n_pad, eb_pad) bucket matches (unlike
+    relax_frames, which closes over the topology and recompiles per
+    protein). Physics identical to relax_frames' inner loop; bond padding
+    is (0, 0) self-loops, which exert zero force."""
+    import jax
+    import jax.numpy as jnp
+
+    n = radii.shape[0]
+    thr = 1.3 * margin * (radii[:, None] + radii[None, :])
+    thr = thr.at[bi, bj].set(0.0).at[bj, bi].set(0.0)
+    ii = jnp.arange(n)
+    thr = thr.at[ii, ii].set(0.0)
+    eye = (ii[:, None] == ii[None, :]).astype(jnp.float32)
+
+    def body(it, x):
+        diff = x[:, None, :] - x[None, :, :]
+        d = jnp.sqrt((diff**2).sum(-1) + eye)
+        nb_viol = jnp.maximum(thr - d, 0.0)
+        force = ((nb_viol / d)[..., None] * diff).sum(1)
+        dbond = d[bi, bj]
+        fb = ((dbond - rest) / dbond)[..., None] * diff[bi, bj]
+        force = force.at[bi].add(-fb).at[bj].add(fb)
+        lr = 0.2 / (1.0 + 0.02 * it)
+        return x + lr * force
+
+    return jax.lax.fori_loop(0, n_iter, body, x0)
+
+
+def _relax_atom14_jit(*args):
+    import jax
+
+    global _RELAX_ATOM14_JITTED
+    try:
+        fn = _RELAX_ATOM14_JITTED
+    except NameError:
+        fn = _RELAX_ATOM14_JITTED = jax.jit(_relax_atom14_impl)
+    return fn(*args)
+
+
+def _relax_protein_atom14(seq: str, crd: np.ndarray) -> np.ndarray:
+    """Relax an atom14 structure so its covalent-cutoff bond graph equals
+    intended_atom14_bonds(seq) exactly (see synthetic_protein.well_posed).
+
+    Flattens present slots, pads the atom count to a multiple of 256 with
+    far-away dummy atoms (bounded set of jitted relax shapes across
+    proteins of different lengths), runs relax_frames, and scatters the
+    relaxed coordinates back into the (n_res, 14, 3) layout.
+    """
+    from coarsegrainingvae_tpu.data.sidechain import ATOM_MAP_14
+
+    flat_idx = -np.ones((len(seq), 14), np.int64)
+    z_list, xyz_list = [], []
+    for i, aa in enumerate(seq):
+        for slot, nm in enumerate(ATOM_MAP_14[aa]):
+            if nm:
+                flat_idx[i, slot] = len(z_list)
+                z_list.append(_NAME2Z[nm[0]])
+                xyz_list.append(crd[i, slot])
+    n = len(z_list)
+    bonds = np.array(
+        [
+            (flat_idx[ri, si], flat_idx[rj, sj])
+            for ri, si, rj, sj in intended_atom14_bonds(seq)
+        ],
+        np.int64,
+    )
+    n_pad = -(-max(n, 1) // 256) * 256
+    z = np.concatenate([z_list, np.full(n_pad - n, 6, np.int64)])
+    xyz = np.zeros((n_pad, 3), np.float64)
+    xyz[:n] = xyz_list
+    # dummies far from the structure and from each other: no interactions
+    xyz[n:, 0] = 1e4 + 50.0 * np.arange(n_pad - n)
+
+    d0 = np.linalg.norm(xyz[bonds[:, 0]] - xyz[bonds[:, 1]], axis=-1)
+    rest = np.clip(d0, 1.25, 1.6)  # peptide C-N starts ~0.8: pull to bond range
+    # bond list padded to a 256 multiple too: the jitted relaxer below takes
+    # every array as a traced argument, so all proteins in a (n_pad, eb_pad)
+    # bucket share ONE compilation (self-loop padding exerts zero force)
+    eb = bonds.shape[0]
+    eb_pad = -(-max(eb, 1) // 256) * 256
+    bi = np.zeros(eb_pad, np.int64)
+    bj = np.zeros(eb_pad, np.int64)
+    bi[:eb], bj[:eb] = bonds[:, 0], bonds[:, 1]
+    rest_pad = np.ones(eb_pad, np.float32)
+    rest_pad[:eb] = rest
+    # the truth graphs PCN is scored against come from sidechain._COV_RADII
+    # (bond_graph_from_coords), whose C/N/O/S radii are LARGER than the
+    # metrics COVCUTOFFTABLE -- relax against the larger table so the
+    # result clears both
+    from coarsegrainingvae_tpu.data.sidechain import _COV_RADII
+
+    radii = np.array([_COV_RADII[int(s)] for s in z], np.float32)
+
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.data.sidechain import bond_graph_from_coords
+
+    want = {tuple(sorted(map(int, e))) for e in bonds}
+    x = jnp.asarray(xyz, jnp.float32)
+    relaxed = None
+    for _round in range(8):  # fresh step-decay restart each round
+        x = _relax_atom14_jit(
+            x, jnp.asarray(radii), jnp.asarray(bi), jnp.asarray(bj),
+            jnp.asarray(rest_pad), jnp.float32(1.12),
+        )
+        relaxed = np.asarray(x, np.float64)[None]
+        # exact acceptance criterion: coordinate-derived truth graph (as
+        # float32, which is how the dataset stores coordinates) == intended
+        got = {
+            tuple(sorted(map(int, e)))
+            for e in bond_graph_from_coords(
+                z[:n], relaxed[0, :n].astype(np.float32)
+            )
+        }
+        if got == want:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"atom14 relax left a cyclic truth graph at n_res={len(seq)}",
+            stacklevel=2,
+        )
+    out = crd.copy()
+    for i in range(len(seq)):
+        for slot in range(14):
+            if flat_idx[i, slot] >= 0:
+                out[i, slot] = relaxed[0, flat_idx[i, slot]]
+    return out

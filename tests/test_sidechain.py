@@ -308,3 +308,47 @@ def test_pcn_fit_returns_best_val_params(pcn_data):
     vals = [h["val_loss"] for h in hist]
     _, m = trainer.run_epoch(state, ds_val, 4, train=False)
     np.testing.assert_allclose(m["loss"], min(vals), rtol=1e-5)
+
+
+def test_synthetic_protein_well_posed_truth_graph_is_tree():
+    """well_posed=True relaxes the structure so the coordinate-derived
+    covalent-cutoff truth graph equals the intended topology exactly (a
+    tree: E = N - 1); the raw generator leaves spurious covalent contacts
+    that make exact bond-graph recovery impossible."""
+    from coarsegrainingvae_tpu.data.synthetic import intended_atom14_bonds
+
+    seq, crd = synthetic_protein(14, seed=3, well_posed=True)
+    p = protein_props(seq, crd)
+    assert p.bonds.shape[0] == p.z.shape[0] - 1
+    assert p.bonds.shape[0] == len(intended_atom14_bonds(seq))
+    # connected single component: union-find over the edges
+    parent = list(range(p.z.shape[0]))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in p.bonds:
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(p.z.shape[0])}) == 1
+
+
+def test_synthetic_protein_default_path_unchanged():
+    """well_posed defaults off and must keep the round-3/4 PCN A/B data
+    bit-exact (including the missing_frac rng stream)."""
+    a = synthetic_protein(7, seed=9)[1]
+    b = synthetic_protein(7, seed=9, well_posed=False)[1]
+    np.testing.assert_array_equal(a, b)
+    m1 = synthetic_protein(7, seed=9, missing_frac=0.4)[1]
+    m2 = synthetic_protein(7, seed=9, missing_frac=0.4)[1]
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_synthetic_protein_well_posed_missing_frac():
+    seq, crd = synthetic_protein(10, seed=4, well_posed=True, missing_frac=0.5)
+    # zero rows present (missing atoms) and the structure still parses
+    assert (np.abs(crd).sum(-1) == 0).any()
+    p = protein_props(seq, crd)
+    assert p.z.shape[0] > 0

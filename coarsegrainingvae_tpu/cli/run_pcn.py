@@ -21,7 +21,7 @@ from coarsegrainingvae_tpu.config import ModelConfig
 from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
 from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
 from coarsegrainingvae_tpu.eval.metrics import bond_graphs_batch, graph_diff_ratio
-from coarsegrainingvae_tpu.models.cgvae import PCN
+from coarsegrainingvae_tpu.models.cgvae import PCN, StochasticPCN
 from coarsegrainingvae_tpu.ops.geometry import drmsd
 from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
 from coarsegrainingvae_tpu.utils.logging import CSVLogger, annotate_job
@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr_patience", type=int, default=2)
     p.add_argument("-lr_factor", type=float, default=0.6)
     p.add_argument("-min_lr", type=float, default=1e-8)
+    p.add_argument("--stochastic", action="store_true", default=False,
+                   help="CVAE variant (StochasticPCN): per-residue latent "
+                        "with a C-alpha-conditioned prior; eval reports "
+                        "posterior-mean recon plus best-of-K prior samples "
+                        "(repo extension, no reference analogue)")
+    p.add_argument("-beta", type=float, default=0.05,
+                   help="KL weight for --stochastic")
+    p.add_argument("-n_ensemble", type=int, default=8,
+                   help="prior samples per test protein for --stochastic "
+                        "best-of-K scoring")
     p.add_argument("--bond_project", action="store_true", default=False,
                    help="depth-ordered covalent bond-length projection "
                         "rooted at the pinned C-alphas (repo extension, "
@@ -142,13 +152,14 @@ def main(argv=None):
     cfg = ModelConfig(dec_type=a.dec_type,
                       n_basis=a.n_basis, n_rbf=a.n_rbf, atom_cutoff=a.cutoff,
                       dec_nconv=a.dec_nconv, activation=a.activation)
-    model = PCN(cfg=cfg)
+    model = StochasticPCN(cfg=cfg) if a.stochastic else PCN(cfg=cfg)
     trainer = PCNTrainer(model, gamma=a.gamma, kappa=a.kappa, lr=a.lr,
                          grad_clip=a.grad_clip, seed=a.seed,
                          aux_warmup=a.aux_warmup, zeta=a.zeta,
                          steric_margin=a.steric_margin,
                          zeta_warmup=a.zeta_warmup,
-                         bond_project=a.bond_project)
+                         bond_project=a.bond_project,
+                         beta=a.beta if a.stochastic else 0.0)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)
 
@@ -187,6 +198,16 @@ def main(argv=None):
         ged = float(graph_diff_ratio(g_true, g_rec)[0])
         row = {"protein": i, "seq_len": len(ds_test.seqs[i]), "rmsd": rmsd,
                "drmsd": dr, "ged": ged, "inference_s": infer_s}
+        if a.stochastic:
+            # best-of-K prior samples: how much of the deterministic RMSD
+            # floor is rotamer multi-modality (a good CVAE's best sample
+            # should beat the posterior-mean recon on multimodal data)
+            ens = np.asarray(jax.device_get(trainer.sample_ensemble(
+                state.params, b, cam, a.n_ensemble, seed=a.seed + i,
+            ))).reshape(a.n_ensemble, -1, 3)
+            er = np.sqrt(((ens - true[None]) ** 2).sum(-1)[:, mask].mean(-1))
+            row["sample_best_rmsd"] = float(er.min())
+            row["sample_mean_rmsd"] = float(er.mean())
         rows.append(row)
         results.log(row)
         if i < a.n_dump:

@@ -608,11 +608,7 @@ class PCN(nn.Module):
                 cross=(c.dec_type != "painn"), dtype=dtype,
             )
 
-    def __call__(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> VAEOutput:
-        """ca_mask: (B, N) marks the C-alpha atom of each residue (the
-        reference recenters via explicit ca_idx, cgvae.py:569-574)."""
-        g = flatten_batch(batch)
-        S_I = self.embedding(g.cg_z)
+    def _decode(self, g: FlatGraph, S_I: Array, ca_mask: Optional[Array]) -> Array:
         cg_s, cg_v = self.dec(g, S_I)
 
         per_atom = jnp.take(cg_v, g.mapping, axis=0)
@@ -624,11 +620,125 @@ class PCN(nn.Module):
             # subtract each residue's C-alpha displacement at the C-alpha only
             xyz_rel = xyz_rel - xyz_rel * cam
 
-        xyz_recon = xyz_rel + jnp.take(g.cg_xyz, g.mapping, axis=0)
+        return xyz_rel + jnp.take(g.cg_xyz, g.mapping, axis=0)
+
+    def __call__(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> VAEOutput:
+        """ca_mask: (B, N) marks the C-alpha atom of each residue (the
+        reference recenters via explicit ca_idx, cgvae.py:569-574)."""
+        g = flatten_batch(batch)
+        xyz_recon = self._decode(g, self.embedding(g.cg_z), ca_mask)
         return VAEOutput(
             mu=None, sigma=None, prior_mu=None, prior_sigma=None,
             xyz=g.xyz, xyz_recon=xyz_recon,
         )
+
+
+class StochasticPCN(PCN):
+    """CVAE variant of PCN (opt-in via `run_pcn --stochastic`; no
+    reference analogue -- the reference PCN at cgvae.py:516-594 is
+    deterministic).
+
+    A deterministic PCN regresses sidechain coordinates to the
+    conditional MEAN of the rotamer distribution given the C-alpha
+    trace, which floors RMSD on rotamer-multimodal ensembles (DESIGN.md
+    roadmap). This adds a per-residue latent: an encoder that sees the
+    TRUE all-atom geometry -> q(z|x) (atoms pooled into their residue
+    via ContractiveMessageBlock on r_iI offsets, then PaiNN layers over
+    the C-alpha graph), a C-alpha-conditioned prior p(z|CG) (the CGprior
+    pattern, embedding residue types), and the SAME PCN decoder
+    conditioned on [residue embedding + Dense(z)]. The latent is
+    invariant, so equivariance of the decode path is preserved exactly.
+    `generate` draws prior samples; best-of-K scoring at eval separates
+    rotamer multi-modality from model error.
+    """
+
+    def setup(self):
+        super().setup()
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.atom_embedding = EmbeddingZeroPad(100, c.n_basis)
+        self.enc_contract = ContractiveMessageBlock(
+            feat_dim=c.n_basis, activation=c.activation, n_rbf=c.n_rbf,
+            cutoff=c.contract_cutoff, dtype=dtype,
+        )
+        self.enc_msgs = [
+            EquiMessageBlock(
+                feat_dim=c.n_basis, activation=c.activation, n_rbf=c.n_rbf,
+                cutoff=c.atom_cutoff, dtype=dtype,
+            )
+            for _ in range(max(c.enc_nconv, 1))
+        ]
+        self.enc_upds = [
+            UpdateBlock(feat_dim=c.n_basis, activation=c.activation, dtype=dtype)
+            for _ in range(max(c.enc_nconv, 1) + 1)
+        ]
+        self.munet = MLP([c.n_basis, c.n_basis], activation="ReLU", dtype=dtype)
+        self.sigmanet = MLP([c.n_basis, c.n_basis], activation="ReLU", dtype=dtype)
+        self.latent_mix = Dense(c.n_basis, dtype=dtype)
+        self.prior_net = CGprior(
+            n_conv=max(c.enc_nconv, 1), feat_dim=c.n_basis, n_rbf=c.n_rbf,
+            activation=c.activation, cutoff=c.atom_cutoff, dtype=dtype,
+        )
+
+    def encode(self, g: FlatGraph) -> Tuple[Array, Array]:
+        h = self.atom_embedding(g.z)
+        v = jnp.zeros((g.num_nodes, 3, h.shape[-1]), h.dtype)
+        r_iI = g.xyz - jnp.take(g.cg_xyz, g.mapping, axis=0)
+
+        # atoms -> their residue (one segment-sum; the offsets r_iI carry
+        # the full rotamer geometry relative to the pinned C-alpha)
+        H = segment_mean(h, g.mapping, g.num_cg, g.atom_mask)
+        dH, V = self.enc_contract(h, v, r_iI, g.mapping, g.num_cg, g.atom_mask)
+        H = H + dH
+        # PaiNN update turns the pooled direction channels into scalar
+        # invariants (inner products) -- this is what distinguishes
+        # rotamers whose atom-distance sets coincide
+        dH, dV = self.enc_upds[0](H, V)
+        H, V = H + dH, V + dV
+
+        r_IJ = _edge_vec(g.cg_xyz, g.cg_nbrs)
+        for msg, upd in zip(self.enc_msgs, self.enc_upds[1:]):
+            dH, dV = msg(H, V, r_IJ, g.cg_nbrs, g.cg_nbr_mask)
+            H, V = H + dH, V + dV
+            dH, dV = upd(H, V)
+            H, V = H + dH, V + dV
+
+        mu = self.munet(H)
+        logvar = jnp.clip(self.sigmanet(H), -30.0, 30.0)
+        sigma = 1e-12 + jnp.exp(logvar / 2.0)
+        return mu, sigma
+
+    def _condition(self, g: FlatGraph, z: Array) -> Array:
+        return self.embedding(g.cg_z) + self.latent_mix(z)
+
+    def __call__(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> VAEOutput:
+        g = flatten_batch(batch)
+        mu, sigma = self.encode(g)
+        prior_mu, prior_sigma = self.prior_net(g)
+        eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+        z = mu + sigma * eps
+        xyz_recon = self._decode(g, self._condition(g, z), ca_mask)
+        return VAEOutput(
+            mu=mu, sigma=sigma, prior_mu=prior_mu, prior_sigma=prior_sigma,
+            xyz=g.xyz, xyz_recon=xyz_recon,
+        )
+
+    def reconstruct_mean(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> Array:
+        """Posterior-mean reconstruction (z = mu; no RNG needed)."""
+        g = flatten_batch(batch)
+        mu, _ = self.encode(g)
+        return self._decode(g, self._condition(g, mu), ca_mask)
+
+    def generate(self, batch: CGBatch, ca_mask: Optional[Array] = None) -> Array:
+        """Prior-conditioned generation from the C-alpha trace alone
+        (the PCN analogue of CGequiVAE.generate). Needs the 'sample' RNG."""
+        g = flatten_batch(batch)
+        prior_mu, prior_sigma = self.prior_net(g)
+        eps = jax.random.normal(
+            self.make_rng("sample"), prior_mu.shape, prior_mu.dtype
+        )
+        z = prior_mu + prior_sigma * eps
+        return self._decode(g, self._condition(g, z), ca_mask)
 
 
 def build_cgequivae(cfg: ModelConfig) -> CGequiVAE:

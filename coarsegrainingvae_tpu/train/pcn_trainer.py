@@ -23,7 +23,7 @@ from coarsegrainingvae_tpu.data.sidechain import PCNDatasetArrays
 from coarsegrainingvae_tpu.models.cgvae import flatten_batch
 from coarsegrainingvae_tpu.ops.geometry import dihedral
 from coarsegrainingvae_tpu.train.controller import EarlyStopping, LowessPlateauController
-from coarsegrainingvae_tpu.train.losses import graph_loss, recon_loss
+from coarsegrainingvae_tpu.train.losses import graph_loss, kl_divergence, recon_loss
 
 
 @struct.dataclass
@@ -91,8 +91,16 @@ class PCNTrainer:
         steric_margin: float = 0.3,
         zeta_warmup: int = 0,
         bond_project: bool = False,
+        beta: float = 0.0,
     ):
         self.model = model
+        # StochasticPCN (CVAE variant, models/cgvae.py): adds beta*KL to
+        # the loss and routes the reparameterization RNG; the
+        # deterministic PCN path is untouched when stochastic=False
+        from coarsegrainingvae_tpu.models.cgvae import StochasticPCN
+
+        self.stochastic = isinstance(model, StochasticPCN)
+        self.beta = float(beta)
         self.gamma = gamma
         self.kappa = kappa
         self.base_lr = lr
@@ -116,10 +124,12 @@ class PCNTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._recon_step = jax.jit(self._recon_impl)
+        self._gen_ens_step = jax.jit(self._gen_ens_impl)
 
     def init_state(self, batch: CGBatch, ca_mask: np.ndarray) -> PCNTrainState:
+        k0, k1 = jax.random.split(jax.random.PRNGKey(self.seed))
         params = self.model.init(
-            jax.random.PRNGKey(self.seed), batch, jnp.asarray(ca_mask)
+            {"params": k0, "sample": k1}, batch, jnp.asarray(ca_mask)
         )["params"]
         return PCNTrainState(
             params=params,
@@ -137,8 +147,12 @@ class PCNTrainer:
         )
 
     def _loss(self, params, batch: CGBatch, ca_mask, quads, quad_mask,
-              aux_scale=1.0, zeta_scale=None):
-        out = self.model.apply({"params": params}, batch, ca_mask)
+              aux_scale=1.0, zeta_scale=None, rng=None):
+        rngs = (
+            {"sample": rng if rng is not None else jax.random.PRNGKey(self.seed)}
+            if self.stochastic else None
+        )
+        out = self.model.apply({"params": params}, batch, ca_mask, rngs=rngs)
         g = flatten_batch(batch)
         if self.bond_project:
             out = out.replace(xyz_recon=self._project(out.xyz_recon, g, ca_mask))
@@ -147,11 +161,19 @@ class PCNTrainer:
         steric_batch = (
             (batch.z, batch.bonds, batch.bond_mask) if self.zeta else None
         )
-        return pcn_loss(
+        total, metrics = pcn_loss(
             out, g, flat_quads, quad_mask.reshape(-1), self.gamma, self.kappa,
             aux_scale, zeta=zeta, steric_batch=steric_batch,
             steric_margin=self.steric_margin,
         )
+        if self.stochastic and self.beta != 0.0:
+            kl = kl_divergence(
+                out.mu, out.sigma, out.prior_mu, out.prior_sigma,
+                mask=g.cg_mask,
+            )
+            total = total + self.beta * kl
+            metrics = dict(metrics, loss=total, kl=kl)
+        return total, metrics
 
     def _train_step_impl(self, state, batch, ca_mask, quads, quad_mask,
                          aux_scale):
@@ -159,8 +181,10 @@ class PCNTrainer:
             jnp.minimum(state.step.astype(jnp.float32) / self.zeta_warmup, 1.0)
             if self.zeta_warmup > 0 else None
         )
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), state.step)
         (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, batch, ca_mask, quads, quad_mask, aux_scale, zscale
+            state.params, batch, ca_mask, quads, quad_mask, aux_scale, zscale,
+            rng,
         )
         loss = metrics["loss"]
         thresh = self.gamma * self.loss_skip_factor if self.gamma > 0 else jnp.inf
@@ -188,13 +212,41 @@ class PCNTrainer:
         return metrics
 
     def _recon_impl(self, params, batch, ca_mask):
-        xr = self.model.apply({"params": params}, batch, ca_mask).xyz_recon
+        if self.stochastic:
+            # posterior-mean reconstruction (z = mu): the deterministic
+            # "best single answer" of the CVAE
+            xr = self.model.apply(
+                {"params": params}, batch, ca_mask, method="reconstruct_mean"
+            )
+        else:
+            xr = self.model.apply({"params": params}, batch, ca_mask).xyz_recon
         if self.bond_project:
             xr = self._project(xr, flatten_batch(batch), ca_mask)
         return xr
 
     def reconstruct(self, params, batch: CGBatch, ca_mask):
         return self._recon_step(params, batch, jnp.asarray(ca_mask))
+
+    def _gen_ens_impl(self, params, batch, ca_mask, keys):
+        def one(key):
+            xr = self.model.apply(
+                {"params": params}, batch, ca_mask, method="generate",
+                rngs={"sample": key},
+            )
+            if self.bond_project:
+                xr = self._project(xr, flatten_batch(batch), ca_mask)
+            return xr
+
+        return jax.vmap(one)(keys)  # (K, BN, 3)
+
+    def sample_ensemble(self, params, batch: CGBatch, ca_mask, k: int,
+                        seed: int = 0):
+        """K prior-conditioned samples from the C-alpha trace
+        (StochasticPCN only). Returns (K, B*N, 3)."""
+        if not self.stochastic:
+            raise ValueError("sample_ensemble needs a StochasticPCN model")
+        keys = jax.random.split(jax.random.PRNGKey(seed), k)
+        return self._gen_ens_step(params, batch, jnp.asarray(ca_mask), keys)
 
     def run_epoch(
         self,
@@ -280,6 +332,9 @@ class PCNTrainer:
                 "train_dihe": train_m["dihe"], "val_dihe": val_m["dihe"],
                 "epoch_time_s": time.time() - t0,
             }
+            if "kl" in train_m:
+                row["train_kl"] = train_m["kl"]
+                row["val_kl"] = val_m.get("kl", float("nan"))
             history.append(row)
             if log_fn is not None:
                 log_fn(row)

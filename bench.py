@@ -183,7 +183,18 @@ def chignolin_scan(n_steps: int = 50, batch_size: int = 16):
     return details
 
 
+def _write_details(details: dict) -> None:
+    """Write BENCH_DETAILS.json atomically (the extras rewrite it as they
+    land; a watchdog exit must never leave a half-written artifact)."""
+    tmp = "BENCH_DETAILS.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=2)
+    os.replace(tmp, "BENCH_DETAILS.json")
+
+
 def main() -> None:
+    import sys
+
     from coarsegrainingvae_tpu.utils.compile_cache import enable as enable_cache
 
     enable_cache()
@@ -206,15 +217,10 @@ def main() -> None:
     # back-compat alias used by earlier rounds' tooling
     details["ms_per_step"] = headline["ms_per_step"]
 
-    if not fast:
-        if batch_size != 32:
-            _, mb32 = measure_scan(dipeptide_config(32), ds, 32, n_steps=100)
-            details["matched_b32"] = mb32
-        details["chignolin"] = chignolin_scan()
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
-
+    # The ONE contract JSON line prints IMMEDIATELY after the headline
+    # measurement (round-4 lesson: a hang in the extras forfeited the
+    # already-measured headline -- BENCH_r04.json rc=124, parsed=null).
+    # Everything after this point is best-effort detail.
     print(
         json.dumps(
             {
@@ -223,8 +229,41 @@ def main() -> None:
                 "unit": "samples/s/chip",
                 "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    _write_details(details)
+
+    # Bound the extras with a hard-exit watchdog: a wedged tunnel blocks
+    # inside the C extension (Python signal handlers never run there), so
+    # use a daemon timer that _exits 0 -- the contract line is already out
+    # and BENCH_DETAILS.json is already valid on disk.
+    import threading
+
+    budget = float(os.environ.get("BENCH_EXTRAS_BUDGET_S", "1200"))
+    watchdog = threading.Timer(budget, lambda: (
+        sys.stderr.write(f"bench extras exceeded {budget:.0f}s budget; "
+                         "exiting with headline only\n"),
+        sys.stderr.flush(),
+        os._exit(0),
+    ))
+    watchdog.daemon = True
+    watchdog.start()
+
+    if not fast:
+        try:
+            if batch_size != 32:
+                _, mb32 = measure_scan(dipeptide_config(32), ds, 32,
+                                       n_steps=100)
+                details["matched_b32"] = mb32
+                _write_details(details)
+            details["chignolin"] = chignolin_scan()
+            _write_details(details)
+        except Exception as exc:  # extras must never cost the headline
+            details["extras_error"] = f"{type(exc).__name__}: {exc}"
+            _write_details(details)
+
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

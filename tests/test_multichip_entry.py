@@ -50,6 +50,34 @@ def test_dryrun_multichip_self_provisions_mesh():
     assert "dryrun_multichip(4) ok" in proc.stdout, proc.stdout[-4000:]
 
 
+def test_dryrun_parent_decision_touches_no_jax(monkeypatch):
+    """The parent-side relaunch decision must not touch jax AT ALL.
+
+    Under the driver, the parent process's jax initializes the tunneled axon
+    TPU plugin; when the tunnel is wedged that init hangs indefinitely
+    (round-4 MULTICHIP artifact: rc=124, tail = plugin warning only). The
+    decision must therefore be env-only: _CGVAE_DRYRUN_SUBPROCESS unset ->
+    always relaunch, no jax import/call in the parent.
+    """
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.remove(REPO)
+
+    calls = []
+    monkeypatch.setattr(g, "_relaunch_dryrun", lambda n: calls.append(n))
+    monkeypatch.delenv("_CGVAE_DRYRUN_SUBPROCESS", raising=False)
+
+    class _PoisonJax:
+        def __getattr__(self, name):
+            raise AssertionError(f"parent path touched jax.{name}")
+
+    monkeypatch.setitem(sys.modules, "jax", _PoisonJax())
+    g.dryrun_multichip(8)
+    assert calls == [8]
+
+
 def test_dryrun_multichip_propagates_failure():
     """A failing subprocess body must surface as a nonzero rc, not silence."""
     env = _driver_like_env()

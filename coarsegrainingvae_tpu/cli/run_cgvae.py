@@ -41,7 +41,10 @@ from coarsegrainingvae_tpu.utils.xyz import write_xyz
 
 CV_STAT_FIELDS = [
     "fold", "epoch", "train_recon_rmsd", "test_all_recon_rmsd",
-    "test_heavy_recon_rmsd", "recon_all_ged", "recon_heavy_ged",
+    "test_heavy_recon_rmsd",
+    "test_all_recon_rmsd_median", "test_all_recon_rmsd_p99",
+    "test_heavy_recon_rmsd_median", "test_heavy_recon_rmsd_p99",
+    "recon_all_ged", "recon_heavy_ged",
     "recon_all_valid_ratio", "recon_heavy_valid_ratio",
     "sample_all_rmsd", "sample_heavy_rmsd", "sample_all_ged",
     "sample_heavy_ged", "sample_all_valid_ratio", "sample_heavy_valid_ratio",
@@ -78,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-steric_margin", type=float, default=0.3,
                    help="safety margin (A) above the covalent-validity "
                         "cutoff for the -zeta hinge")
+    p.add_argument("--steric_data_margin", action="store_true",
+                   help="per-pair hinge thresholds from the training "
+                        "ensemble's own closest approaches (clipped to "
+                        "validity cutoff + steric_margin); the hinge "
+                        "never fights geometry the data exhibits")
     p.add_argument("-h_bond_weight", type=float, default=1.0,
                    help="upweight X-H bonded-distance terms in the graph "
                         "loss (repo extension; 1.0 = reference behavior)")
@@ -172,6 +180,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
             zeta=a.zeta, steric_margin=a.steric_margin,
+            steric_data_margin=a.steric_data_margin,
             h_bond_weight=a.h_bond_weight,
             zeta_warmup=a.zeta_warmup, eta_h=a.eta_h,
             patience=a.patience, lr_factor=a.factor,
@@ -283,7 +292,9 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
             from coarsegrainingvae_tpu.train.losses import build_steric_tables
 
             steric = build_steric_tables(
-                z, bonds, margin=cfg.train.steric_margin
+                z, bonds, margin=cfg.train.steric_margin,
+                frames=(frames[train_idx]
+                        if cfg.train.steric_data_margin else None),
             )
         trainer = Trainer(model, cfg, steric_tables=steric)
         state = trainer.init_state(
@@ -339,6 +350,14 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
             "train_recon_rmsd": history[-1]["train_recon"] ** 0.5,
             "test_all_recon_rmsd": recon["all_atom_rmsd"],
             "test_heavy_recon_rmsd": recon["heavy_atom_rmsd"],
+            "test_all_recon_rmsd_median": recon.get(
+                "all_atom_rmsd_median", float("nan")),
+            "test_all_recon_rmsd_p99": recon.get(
+                "all_atom_rmsd_p99", float("nan")),
+            "test_heavy_recon_rmsd_median": recon.get(
+                "heavy_atom_rmsd_median", float("nan")),
+            "test_heavy_recon_rmsd_p99": recon.get(
+                "heavy_atom_rmsd_p99", float("nan")),
             "recon_all_ged": recon.get("all_ged", float("nan")),
             "recon_heavy_ged": recon.get("heavy_ged", float("nan")),
             "recon_all_valid_ratio": recon.get("all_valid_ratio", float("nan")),

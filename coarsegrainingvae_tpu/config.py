@@ -129,6 +129,13 @@ class TrainConfig:
     # metric's dominant failure mode at protein scale.
     zeta: float = 0.0
     steric_margin: float = 0.3
+    # per-pair DATA margins for the hinge (train/losses.py::
+    # build_steric_tables frames=...): each nonbonded pair's threshold is
+    # the training ensemble's own closest approach, clipped into
+    # [validity cutoff, validity cutoff + steric_margin] -- the hinge
+    # never fights geometry the data itself exhibits. False = uniform
+    # margin (round-4 behavior).
+    steric_data_margin: bool = False
     # linear warmup of zeta over the first N optimizer STEPS (0 = no
     # ramp). At protein scale a full-weight steric term at step 0 sends
     # the first Adam update down an all-pairs-expansion direction that a

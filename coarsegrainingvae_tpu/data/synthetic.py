@@ -20,7 +20,7 @@ import numpy as np
 
 # bump whenever generation/relaxation changes so on-disk ensemble caches
 # (data/proteins.py) are invalidated instead of silently served stale
-SYNTH_VERSION = 6  # v6: vdW-like nonbonded relax margin for chignolin
+SYNTH_VERSION = 7  # v7: vdW-like nonbonded relax margin on ALL peptide presets
 
 # dipeptide stand-in matches alanine dipeptide's size: 22 atoms, 10 heavy.
 # ou_kappa / hop_scale shape the "md" trajectory statistics per preset:
@@ -38,10 +38,16 @@ SYNTH_VERSION = 6  # v6: vdW-like nonbonded relax margin for chignolin
 # ~2.2 A vs the 0.81 A H-H covalent cutoff); the 1.15 default leaves
 # nonbonded pairs unphysically close to the bonded/nonbonded decision
 # boundary, which makes exact-graph validity brittle in a way real MD
-# frames are not. chignolin uses a vdW-like 1.30.
+# frames are not. All presets use a vdW-like 1.30 (v7).
 _PRESETS = {
-    "dipeptide": dict(n_heavy=10, n_frames_default=20000),
-    "pentapeptide": dict(n_heavy=40, n_frames_default=10000),
+    # v7: the 1.15 default relax margin left occasional frames with
+    # near-clashing nonbonded pairs (collapsed bead geometry); one such
+    # frame in a 16k-frame fold blew the fold's test recon RMSD to 7e5
+    # (examples/results/dipeptide_5fold/README.md). All presets now use
+    # the vdW-like 1.30 floor chignolin already used.
+    "dipeptide": dict(n_heavy=10, n_frames_default=20000, relax_margin=1.30),
+    "pentapeptide": dict(n_heavy=40, n_frames_default=10000,
+                         relax_margin=1.30),
     "chignolin": dict(n_heavy=77, n_frames_default=5000,
                       ou_kappa=0.15, hop_scale=0.25, relax_margin=1.30),
     # spike-protein scale (reference datasets.py:24-26 'covid', the DESRES

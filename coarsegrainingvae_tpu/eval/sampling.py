@@ -159,4 +159,14 @@ def reconstruct_all(
     out["all_atom_rmsd"] = float(np.sqrt(d2.mean()))
     heavy = ds.z != 1
     out["heavy_atom_rmsd"] = float(np.sqrt(d2[:, heavy].mean()))
+    # robust per-frame statistics next to the reference-parity mean: a
+    # single pathological frame can dominate the pooled mean (a 7e5-RMSD
+    # frame once poisoned a whole fold's headline), so also report the
+    # median and p99 of the per-frame RMSD distribution
+    frame_all = np.sqrt(d2.mean(axis=1))
+    frame_heavy = np.sqrt(d2[:, heavy].mean(axis=1))
+    out["all_atom_rmsd_median"] = float(np.median(frame_all))
+    out["all_atom_rmsd_p99"] = float(np.percentile(frame_all, 99))
+    out["heavy_atom_rmsd_median"] = float(np.median(frame_heavy))
+    out["heavy_atom_rmsd_p99"] = float(np.percentile(frame_heavy, 99))
     return out

@@ -87,7 +87,7 @@ def graph_loss(
 
 
 def build_steric_tables(
-    z, bonds, scale: float = 1.3, margin: float = 0.3
+    z, bonds, scale: float = 1.3, margin: float = 0.3, frames=None
 ):
     """Host-side (numpy) excluded-volume tables for `steric_loss`.
 
@@ -97,6 +97,15 @@ def build_steric_tables(
     real-atom pair, the distance below which the exact-bond-graph validity
     metric (eval/metrics.py::valid_ratio, reference sampling.py:120-194)
     would see a spurious edge -- scale*(r_i+r_j) -- plus a safety margin.
+
+    frames (T, N, 3), optional: per-pair DATA margins. With a uniform
+    margin the hinge can fight the reconstruction loss on pairs the data
+    itself brings close (1-3/1-4 contacts near the cutoff) -- the measured
+    failure mode of large zeta at chignolin scale (validity peaked then
+    regressed as zeta grew). With frames given, each pair's threshold is
+    instead the ENSEMBLE'S OWN closest approach, clipped into
+    [validity cutoff, validity cutoff + margin]: the hinge then pushes a
+    pair only as far as the data proves is achievable, never further.
 
     This term has no reference analogue (the reference's loss is
     recon+KL+graph, utils.py:141); it exists because the validity metric's
@@ -110,7 +119,19 @@ def build_steric_tables(
     n = z.shape[0]
     real = z > 0
     r = np.array([COVALENT_RADII_TABLE.get(int(v), 1.5) for v in z])
-    thresh = (r[None, :] + r[:, None]) * scale + margin
+    base = (r[None, :] + r[:, None]) * scale
+    thresh = base + margin
+    if frames is not None:
+        frames = np.asarray(frames, np.float32)
+        dmin = np.full((n, n), np.inf, np.float32)
+        chunk = max(1, min(512, int(1.5e8 // (n * n))))  # bound host memory
+        for lo in range(0, frames.shape[0], chunk):
+            c = frames[lo : lo + chunk]
+            d = np.sqrt(
+                ((c[:, :, None, :] - c[:, None, :, :]) ** 2).sum(-1)
+            ).min(0)
+            np.minimum(dmin, d, out=dmin)
+        thresh = np.clip(dmin, base, base + margin)
     mask = real[None, :] & real[:, None]
     mask[np.arange(n), np.arange(n)] = False
     for a, b in np.asarray(bonds).reshape(-1, 2):

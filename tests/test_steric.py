@@ -45,6 +45,39 @@ def test_tables_exclude_bonded_and_diagonal():
     )
 
 
+def test_tables_data_margin_per_pair():
+    """frames=... clips each pair's threshold to the ensemble's own
+    closest approach within [cutoff, cutoff + margin]."""
+    z, bonds = _chain()
+    cutoff = bond_cutoff_matrix(z)
+    # two frames along x: pair (0,2) approaches to cutoff+0.1 (inside the
+    # uniform cutoff+0.3 band), pair (0,3) never closer than 10 A
+    x1 = np.zeros((4, 3), np.float32)
+    x1[1, 0] = 1.54
+    x1[2, 0] = cutoff[0, 2] + 0.1
+    x1[3, 0] = 10.0
+    x2 = x1.copy()
+    x2[2, 0] = cutoff[0, 2] + 0.25
+    frames = np.stack([x1, x2])
+    thresh, mask = build_steric_tables(z, bonds, margin=0.3, frames=frames)
+    # (0,2): data margin 0.1 < uniform 0.3 -> threshold relaxes to the
+    # data's own closest approach
+    np.testing.assert_allclose(thresh[0, 2], cutoff[0, 2] + 0.1, atol=1e-5)
+    # (0,3): data stays far -> clipped at cutoff + margin (never beyond)
+    np.testing.assert_allclose(thresh[0, 3], cutoff[0, 3] + 0.3, atol=1e-5)
+    # a pair the data brings INSIDE the validity cutoff still gets at
+    # least the cutoff itself (floor of the clip)
+    x3 = x1.copy()
+    x3[2, 0] = cutoff[0, 2] - 0.5
+    t2, _ = build_steric_tables(
+        z, bonds, margin=0.3, frames=np.stack([x3])
+    )
+    np.testing.assert_allclose(t2[0, 2], cutoff[0, 2], atol=1e-5)
+    # frames=None keeps round-4 behavior bit-for-bit
+    t_none, _ = build_steric_tables(z, bonds, margin=0.3)
+    np.testing.assert_allclose(t_none, cutoff + 0.3, atol=1e-6)
+
+
 def test_tables_exclude_padding():
     z = np.array([6, 6, 0, 0])
     thresh, mask = build_steric_tables(z, np.empty((0, 2), int))

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="excluded-volume hinge weight (repo extension; "
                         "0 = reference loss)")
     p.add_argument("-steric_margin", type=float, default=0.3)
+    p.add_argument("--steric_data_margin", action="store_true",
+                   help="per-pair hinge thresholds from the training "
+                        "ensemble's closest approaches (see run_cgvae)")
     p.add_argument("-zeta_warmup", type=int, default=0,
                    help="linear steric-weight ramp over the first N steps")
     p.add_argument("--graph_grad", action="store_true", default=False,
@@ -126,7 +129,10 @@ def main(argv=None):
         if a.zeta > 0.0:
             from coarsegrainingvae_tpu.train.losses import build_steric_tables
 
-            steric = build_steric_tables(z, bonds, margin=a.steric_margin)
+            steric = build_steric_tables(
+                z, bonds, margin=a.steric_margin,
+                frames=frames[train_idx] if a.steric_data_margin else None,
+            )
         trainer = DiffPoolTrainer(
             cfg, beta=a.beta, gamma=a.gamma, lr=a.lr,
             assign_idx=assign_idx, seed=a.seed,

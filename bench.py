@@ -11,11 +11,14 @@ Baseline derivation (reference README.md:53-58): one dipeptide CV fold
 Side artifact BENCH_DETAILS.json additionally carries, from the SAME run:
   - "matched_b32": the dipeptide scan at the reference's own batch 32
     (so the headline recipe-batch figure can be compared against a
-    matched-batch figure without re-running anything), and
+    matched-batch figure without re-running anything),
   - "chignolin": a chignolin-config scan (N=209, cross decoder, 9 dec
     convs -- the sparse/cross-decoder path the dipeptide headline never
-    touches), so cross-round perf regressions there are caught.
-Set BENCH_FAST=1 to skip both extras (headline only).
+    touches), so cross-round perf regressions there are caught, and
+  - "pcn": timed PCN backmapping train steps (50-80-residue padded
+    multi-topology batches, reference scripts/run_pdb.py workload) --
+    the protein path neither peptide scan compiles.
+Set BENCH_FAST=1 to skip all extras (headline only).
 """
 from __future__ import annotations
 
@@ -183,6 +186,67 @@ def chignolin_scan(n_steps: int = 50, batch_size: int = 16):
     return details
 
 
+def pcn_scan(n_steps: int = 50, batch_size: int = 8, n_basis: int = 256,
+             dec_nconv: int = 4, min_res: int = 50, max_res: int = 81):
+    """Timed PCN backmapping train steps (reference scripts/run_pdb.py
+    workload): 50-80-residue synthetic proteins in padded multi-topology
+    CGBatches, cross decoder at the committed p-series architecture
+    (n_basis 256, dec_nconv 4). Per-step host dispatch (the PCN trainer's
+    production loop), synced once at the end with a device_get -- so the
+    number includes real dispatch overhead, unlike the epoch-as-one-jit
+    peptide scans. No vs_baseline: the reference publishes no PCN
+    throughput figure (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from coarsegrainingvae_tpu.config import ModelConfig
+    from coarsegrainingvae_tpu.data.sidechain import build_pcn_dataset
+    from coarsegrainingvae_tpu.data.synthetic import synthetic_protein
+    from coarsegrainingvae_tpu.models.cgvae import PCN
+    from coarsegrainingvae_tpu.train.pcn_trainer import PCNTrainer
+
+    rng = np.random.default_rng(0)
+    items = [
+        synthetic_protein(int(rng.integers(min_res, max_res)), seed=i)
+        for i in range(2 * batch_size)
+    ]
+    ds = build_pcn_dataset(items, cg_cutoff=10.0)
+    cfg = ModelConfig(dec_type="cross", n_basis=n_basis, n_rbf=10,
+                      atom_cutoff=10.0, dec_nconv=dec_nconv,
+                      activation="swish")
+    trainer = PCNTrainer(PCN(cfg=cfg), gamma=5.0, kappa=1.0, lr=3e-3,
+                         grad_clip=1.0, seed=0)
+    batches = [
+        (b, jnp.asarray(cam), jnp.asarray(q), jnp.asarray(qm))
+        for b, cam, q, qm in ds.iter_batches(batch_size)
+    ]
+    state = trainer.init_state(batches[0][0], np.asarray(batches[0][1]))
+    aux = jnp.asarray(1.0, jnp.float32)
+
+    # compile + warm, and record the pre-training loss level
+    state, metrics = trainer._train_step(state, *batches[0], aux)
+    loss0 = float(jax.device_get(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = trainer._train_step(
+            state, *batches[i % len(batches)], aux
+        )
+    loss1 = float(jax.device_get(metrics["loss"]))  # true sync
+    dt = time.perf_counter() - t0
+    return {
+        "batch_size": batch_size,
+        "n_steps": n_steps,
+        "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "samples_per_sec_per_chip": round(n_steps * batch_size / dt, 2),
+        "loss_first_step": loss0,
+        "loss_last_step": loss1,
+        "learning": bool(loss1 < loss0),
+        "config": (f"pcn {min_res}-{max_res - 1}res atom14 "
+                   f"n_basis={n_basis} dec{dec_nconv} cross "
+                   f"batch{batch_size} per-step dispatch"),
+    }
+
+
 def _write_details(details: dict) -> None:
     """Write BENCH_DETAILS.json atomically (the extras rewrite it as they
     land; a watchdog exit must never leave a half-written artifact)."""
@@ -258,6 +322,8 @@ def main() -> None:
                 details["matched_b32"] = mb32
                 _write_details(details)
             details["chignolin"] = chignolin_scan()
+            _write_details(details)
+            details["pcn"] = pcn_scan()
             _write_details(details)
         except Exception as exc:  # extras must never cost the headline
             details["extras_error"] = f"{type(exc).__name__}: {exc}"

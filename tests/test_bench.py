@@ -100,6 +100,22 @@ bench.main()
     assert "chignolin" not in details
 
 
+def test_pcn_scan_tiny_config():
+    """The round-5 "pcn" bench extra: tiny shapes, real PCN train steps.
+    Pins the row schema and that the timed loop actually optimizes."""
+    from bench import pcn_scan
+
+    d = pcn_scan(n_steps=3, batch_size=2, n_basis=16, dec_nconv=1,
+                 min_res=6, max_res=9)
+    for k in ("ms_per_step", "samples_per_sec_per_chip", "loss_first_step",
+              "loss_last_step", "learning", "batch_size", "config"):
+        assert k in d
+    assert d["batch_size"] == 2
+    assert np.isfinite(d["loss_last_step"])
+    # 3 steps of Adam on 2 alternating batches must not diverge
+    assert d["loss_last_step"] <= d["loss_first_step"] * 1.5
+
+
 def test_measure_scan_tiny_config_learns():
     from coarsegrainingvae_tpu.config import (
         DataConfig, ExperimentConfig, ModelConfig, TrainConfig,

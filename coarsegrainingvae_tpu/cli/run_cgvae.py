@@ -114,8 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-seed", type=int, default=123)
     p.add_argument("-checkpoint_every", type=int, default=0)
     p.add_argument("-max_folds", type=int, default=0,
-                   help="run only the first K CV folds (0 = all); the fold "
-                        "split itself still uses -nsplits")
+                   help="run only K CV folds starting at -fold_offset "
+                        "(0 = all); the fold split itself still uses "
+                        "-nsplits")
+    p.add_argument("-fold_offset", type=int, default=0,
+                   help="skip CV folds below this index (resume a "
+                        "multi-fold campaign fold-by-fold across chip "
+                        "sessions; splits are seed-deterministic so fold "
+                        "k here is fold k of any same-seed run)")
     p.add_argument("--dec_type", type=str, default="cross",
                    choices=["pseudo", "pseudo2", "cross", "painn", "en", "inv"])
     p.add_argument("--graph_eval", action="store_true", default=False)
@@ -212,7 +218,7 @@ def build_fold_mapping(cfg: ExperimentConfig, z, frames, bonds, seed: int):
 def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
            graph_eval: bool = False, reflection: bool = False,
            resume: bool = False, sparse: bool = False,
-           max_folds: int = 0) -> list:
+           max_folds: int = 0, fold_offset: int = 0) -> list:
     """The main CV loop (run_cv, run_ala.py:75-414). Returns cv rows."""
     os.makedirs(cfg.logdir, exist_ok=True)
     cfg.save(os.path.join(cfg.logdir, "modelparams.json"))
@@ -250,7 +256,9 @@ def run_cv(cfg: ExperimentConfig, n_ensemble: int = 16, nevals: int = 36,
     rows = []
 
     for fold, (train_idx, test_idx) in enumerate(folds):
-        if max_folds and fold >= max_folds:
+        if fold < fold_offset:
+            continue
+        if max_folds and fold >= fold_offset + max_folds:
             break
         t0 = time.time()
         split_dir = os.path.join(cfg.logdir, f"fold{fold}")
@@ -407,6 +415,7 @@ def main(argv=None) -> list:
         cfg, n_ensemble=args.n_ensemble, nevals=args.nevals,
         graph_eval=args.graph_eval, reflection=args.reflectiontest,
         resume=args.resume, sparse=args.sparse, max_folds=args.max_folds,
+        fold_offset=args.fold_offset,
     )
 
 

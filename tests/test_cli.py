@@ -28,6 +28,28 @@ def test_run_cgvae_cli(tmp_path):
     assert np.isfinite(rows[0]["test_all_recon_rmsd"])
 
 
+def test_run_cgvae_cli_fold_offset(tmp_path):
+    """-fold_offset K resumes a multi-fold campaign at fold K: the split is
+    seed-deterministic, so fold 1 here is fold 1 of a full run. Only fold 1
+    runs; fold 0 is neither trained nor written."""
+    from coarsegrainingvae_tpu.cli.run_cgvae import main
+
+    rows = main([
+        "-logdir", str(tmp_path / "run"), "-dataset", "dipeptide",
+        "-n_cgs", "3", "-n_basis", "16", "-n_rbf", "4",
+        "-enc_nconv", "1", "-dec_nconv", "1", "-ndata", "48",
+        "-nepochs", "1", "-batch_size", "16", "-nsplits", "2",
+        "-fold_offset", "1", "-max_folds", "1",
+        "-beta", "0.01", "-gamma", "1.0", "-n_ensemble", "2",
+        "-nevals", "2", "--dec_type", "painn",
+    ])
+    assert len(rows) == 1
+    assert rows[0]["fold"] == 1
+    run_dir = [p for p in tmp_path.iterdir() if p.name.startswith("run")][0]
+    assert (run_dir / "fold1" / "train_log.csv").exists()
+    assert not (run_dir / "fold0").exists()
+
+
 def test_postanalysis_reloads_dense_run(tmp_path):
     """Checkpoint reload must reconstruct the SAME model class the driver
     trained (dense flagship here) -- the orbax restore fails on a param

@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "rooted at the pinned C-alphas (repo extension, "
                         "models/cgvae.py::project_bonds_rooted; default "
                         "off = reference)")
+    p.add_argument("--bond_project_eval", action="store_true", default=False,
+                   help="apply the rooted bond projection ONLY on recon/"
+                        "generate outputs, leaving the training objective "
+                        "untouched (training through the projection is "
+                        "unstable -- see examples/results/pcn_demo p7)")
     p.add_argument("--well_posed_data", action="store_true", default=False,
                    help="relax synthetic stand-in proteins against their "
                         "intended covalent topology so truth bond graphs "
@@ -159,6 +164,7 @@ def main(argv=None):
                          steric_margin=a.steric_margin,
                          zeta_warmup=a.zeta_warmup,
                          bond_project=a.bond_project,
+                         bond_project_eval=a.bond_project_eval,
                          beta=a.beta if a.stochastic else 0.0)
     batch, ca_mask, _, _ = next(ds_tr.iter_batches(min(a.batch_size, len(ds_tr))))
     state = trainer.init_state(batch, ca_mask)

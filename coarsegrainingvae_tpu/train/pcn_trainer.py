@@ -91,6 +91,7 @@ class PCNTrainer:
         steric_margin: float = 0.3,
         zeta_warmup: int = 0,
         bond_project: bool = False,
+        bond_project_eval: bool = False,
         beta: float = 0.0,
     ):
         self.model = model
@@ -116,8 +117,16 @@ class PCNTrainer:
         self.zeta_warmup = int(zeta_warmup or 0)
         # depth-ordered covalent bond-length projection rooted at the
         # pinned C-alphas (models/cgvae.py::project_bonds_rooted) --
-        # applies on the training loss AND reconstruct paths
+        # applies on the training loss AND reconstruct paths.
+        # bond_project_eval projects ONLY on the recon/generate outputs,
+        # leaving the training objective untouched (the PCN analogue of
+        # ModelConfig.h_project_eval): training THROUGH the projection is
+        # unstable -- the rest/nrm direction factor has near-singular
+        # gradients when a decoded bond collapses, and the round-5 p7 chip
+        # run (examples/results/pcn_demo/p7_*) NaN'd at epoch 30/300 that
+        # way while the eval-projected variant sidesteps it entirely.
         self.bond_project = bool(bond_project)
+        self.bond_project_eval = bool(bond_project_eval)
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip), optax.scale_by_adam()
         )
@@ -220,7 +229,7 @@ class PCNTrainer:
             )
         else:
             xr = self.model.apply({"params": params}, batch, ca_mask).xyz_recon
-        if self.bond_project:
+        if self.bond_project or self.bond_project_eval:
             xr = self._project(xr, flatten_batch(batch), ca_mask)
         return xr
 
@@ -233,7 +242,7 @@ class PCNTrainer:
                 {"params": params}, batch, ca_mask, method="generate",
                 rngs={"sample": key},
             )
-            if self.bond_project:
+            if self.bond_project or self.bond_project_eval:
                 xr = self._project(xr, flatten_batch(batch), ca_mask)
             return xr
 

@@ -31,8 +31,12 @@ until grep -q "RESUME ALL DONE" "$S" 2>/dev/null; do
 done
 note "QUEUE DRAINED"
 
-# [1] covid spike-scale, 40 epochs (trained + eval'd, not converged)
-if [ "$(left)" -ge 2600 ]; then
+# [1] covid spike-scale, 40 epochs (trained + eval'd, not converged).
+# Skipped if the resume queue's own full covid stage [H] already ran
+# (it runs only when the b256 probe returns enough budget).
+if grep -q "STAGE covid rc=" "$S" 2>/dev/null; then
+  note "SKIP covid_short (queue stage H ran)"
+elif [ "$(left)" -ge 2600 ]; then
   timeout 2400 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
     -n_cgs 500 -batch_size 2 -ndata 240 -nepochs 40 -lr 3e-4 \
     -n_basis 192 -n_rbf 8 -atom_cutoff 5.0 -cg_cutoff 15.0 -nsplits 5 \
@@ -67,7 +71,8 @@ if [ "$(left)" -ge 1500 ]; then
   note "STAGE pcn_p8 rc=$?"
 else note "SKIP pcn_p8 (wall)"; fi
 
-# collect everything small into the repo tree
+# collect everything small into the repo tree (incl. queue-stage dirs)
+bash examples/r5_collect.sh >/dev/null 2>&1
 LIVE=/root/repo/examples/results/_r5_live
 mkdir -p "$LIVE"
 for pair in "covid_short:/tmp/r5e_covid_short*" "pcn_p8s:/tmp/r5e_pcn_p8s*" "pcn_p8:/tmp/r5e_pcn_p8_*"; do

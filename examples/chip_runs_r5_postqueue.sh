@@ -32,10 +32,11 @@ done
 note "QUEUE DRAINED"
 
 # [1] covid spike-scale, 40 epochs (trained + eval'd, not converged).
-# Skipped if the resume queue's own full covid stage [H] already ran
-# (it runs only when the b256 probe returns enough budget).
-if grep -q "STAGE covid rc=" "$S" 2>/dev/null; then
-  note "SKIP covid_short (queue stage H ran)"
+# Skipped only if the resume queue's own full covid stage [H] ran to a
+# COMPLETE eval (cv_stats.csv exists) — a timeout there leaves no
+# reconstruction artifact, and the shortened run is then still needed.
+if ls /tmp/r5d_covid*/cv_stats.csv >/dev/null 2>&1; then
+  note "SKIP covid_short (queue stage H completed with cv_stats)"
 elif [ "$(left)" -ge 2600 ]; then
   timeout 2400 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
     -n_cgs 500 -batch_size 2 -ndata 240 -nepochs 40 -lr 3e-4 \

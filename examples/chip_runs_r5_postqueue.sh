@@ -38,8 +38,16 @@ note "QUEUE DRAINED"
 if ls /tmp/r5d_covid*/cv_stats.csv >/dev/null 2>&1; then
   note "SKIP covid_short (queue stage H completed with cv_stats)"
 elif [ "$(left)" -ge 2600 ]; then
-  timeout 2400 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
-    -n_cgs 500 -batch_size 2 -ndata 240 -nepochs 40 -lr 3e-4 \
+  # Host-side conformer generation at 9.5k atoms is single-core-bound
+  # (~tens of minutes for 240 frames on this 1-cpu box). Use the full
+  # ensemble only if the queue stage's generation reached the synth
+  # cache; otherwise generate a 64-frame ensemble -- the item under
+  # test is the 10k-atom SCALE, not ensemble breadth.
+  NDATA=64
+  [ -f /tmp/cgvae_synth_cache/v7_covid_240_123.npz ] && NDATA=240
+  note "covid_short ndata=$NDATA"
+  timeout 2500 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
+    -n_cgs 500 -batch_size 2 -ndata "$NDATA" -nepochs 40 -lr 3e-4 \
     -n_basis 192 -n_rbf 8 -atom_cutoff 5.0 -cg_cutoff 15.0 -nsplits 5 \
     -beta 0.05 -gamma 25.0 -enc_nconv 2 -dec_nconv 4 -cg_method cgae \
     -edgeorder 2 --dec_type cross --sparse --degree_norm --graph_eval \

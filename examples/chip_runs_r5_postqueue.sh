@@ -35,9 +35,10 @@ note "QUEUE DRAINED"
 # Skipped only if the resume queue's own full covid stage [H] ran to a
 # COMPLETE eval (cv_stats.csv exists) — a timeout there leaves no
 # reconstruction artifact, and the shortened run is then still needed.
+CAP=$(( $(left) - 200 )); [ "$CAP" -gt 2500 ] && CAP=2500
 if ls /tmp/r5d_covid*/cv_stats.csv >/dev/null 2>&1; then
   note "SKIP covid_short (queue stage H completed with cv_stats)"
-elif [ "$(left)" -ge 2600 ]; then
+elif [ "$CAP" -ge 1700 ]; then
   # Host-side conformer generation at 9.5k atoms is single-core-bound
   # (~tens of minutes for 240 frames on this 1-cpu box). Use the full
   # ensemble only if the queue stage's generation reached the synth
@@ -45,13 +46,13 @@ elif [ "$(left)" -ge 2600 ]; then
   # test is the 10k-atom SCALE, not ensemble breadth.
   NDATA=64
   [ -f /tmp/cgvae_synth_cache/v7_covid_240_123.npz ] && NDATA=240
-  note "covid_short ndata=$NDATA"
-  timeout 2500 python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
-    -n_cgs 500 -batch_size 2 -ndata "$NDATA" -nepochs 40 -lr 3e-4 \
+  note "covid_short ndata=$NDATA cap=${CAP}s"
+  timeout "$CAP" python -m coarsegrainingvae_tpu.cli.run_cgvae -dataset covid \
+    -n_cgs 500 -batch_size 2 -ndata "$NDATA" -nepochs 25 -lr 3e-4 \
     -n_basis 192 -n_rbf 8 -atom_cutoff 5.0 -cg_cutoff 15.0 -nsplits 5 \
     -beta 0.05 -gamma 25.0 -enc_nconv 2 -dec_nconv 4 -cg_method cgae \
     -edgeorder 2 --dec_type cross --sparse --degree_norm --graph_eval \
-    -n_ensemble 4 -nevals 8 -patience 100 -factor 0.6 -lr_patience 15 \
+    -n_ensemble 4 -nevals 4 -patience 100 -factor 0.6 -lr_patience 15 \
     -min_lr 1e-6 -max_folds 1 -seed 123 -logdir /tmp/r5e_covid_short \
     > /tmp/r5_covid_short.log 2>&1
   note "STAGE covid_short rc=$?"

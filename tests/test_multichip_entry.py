@@ -78,6 +78,46 @@ def test_dryrun_parent_decision_touches_no_jax(monkeypatch):
     assert calls == [8]
 
 
+def test_subprocess_body_raises_cpu_collective_deadlines(monkeypatch):
+    """The dryrun subprocess must inject raised rendezvous deadlines.
+
+    XLA's in-process CPU collectives SIGABRT (rendezvous.cc termination
+    timeout, hard 40 s) when the virtual devices' threads are time-sliced on
+    a starved/few-core host -- observed killing the flagship-shape steps on
+    a 1-core VM. The fix routes per-jit DebugOptions through a jax.jit wrap;
+    pin that every jit call gets the two timeout fields (and that caller
+    compiler_options are merged, not clobbered).
+    """
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.remove(REPO)
+
+    captured = []
+
+    class _FakeJax:
+        @staticmethod
+        def jit(*args, **kwargs):
+            captured.append(kwargs.get("compiler_options"))
+            return lambda *a, **k: None
+
+    monkeypatch.setitem(sys.modules, "jax", _FakeJax())
+    g._raise_cpu_collective_deadlines()
+    fake = sys.modules["jax"]
+    fake.jit(lambda x: x, donate_argnums=(0,))
+    fake.jit(lambda x: x, compiler_options={"xla_foo": 1})
+    assert captured[0] == {
+        "xla_cpu_collective_call_warn_stuck_seconds": 120,
+        "xla_cpu_collective_call_terminate_timeout_seconds": 1200,
+    }
+    assert captured[1]["xla_foo"] == 1
+    assert (
+        captured[1]["xla_cpu_collective_call_terminate_timeout_seconds"]
+        == 1200
+    )
+
+
 def test_dryrun_multichip_propagates_failure():
     """A failing subprocess body must surface as a nonzero rc, not silence."""
     env = _driver_like_env()

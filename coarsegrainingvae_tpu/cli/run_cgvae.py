@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-auxcutoff", type=float, default=0.0)
     p.add_argument("-beta", type=float, default=0.001)
     p.add_argument("-gamma", type=float, default=0.01)
+    p.add_argument("-loss_skip_factor", type=float, default=200.0,
+                   help="skip-batch guard threshold: skip the update when "
+                        "loss >= gamma*THIS (reference scripts/utils.py:145 "
+                        "uses 200). The graph loss is extensive in system "
+                        "size, so at spike scale (10k atoms) the default "
+                        "threshold rejects EVERY update -- raise it (the "
+                        "NaN/inf gradient guards stay active regardless)")
     p.add_argument("-zeta", type=float, default=0.0,
                    help="excluded-volume hinge weight on nonbonded pair "
                         "distances (repo extension; 0 = reference loss)")
@@ -186,6 +193,7 @@ def params_to_config(a: argparse.Namespace) -> ExperimentConfig:
         train=TrainConfig(
             nepochs=a.nepochs, lr=a.lr, beta=a.beta, gamma=a.gamma,
             zeta=a.zeta, steric_margin=a.steric_margin,
+            loss_skip_factor=a.loss_skip_factor,
             steric_data_margin=a.steric_data_margin,
             h_bond_weight=a.h_bond_weight,
             zeta_warmup=a.zeta_warmup, eta_h=a.eta_h,

@@ -203,3 +203,18 @@ def test_real_data_chain_pdb_to_npz_to_run_cv(tmp_path, monkeypatch):
     ca_idx = [i for i, nm in enumerate(names) if nm == "CA"]
     assert list(saved["data"]["site_index"]) == ca_idx
     assert np.isfinite(rows[0]["test_all_recon_rmsd"])
+
+
+def test_loss_skip_factor_flag_plumbs_to_train_config():
+    """-loss_skip_factor must reach TrainConfig (spike-scale runs need it:
+    the graph loss is extensive in system size, so the reference's fixed
+    loss >= gamma*200 skip guard rejects EVERY update at 10k atoms)."""
+    from coarsegrainingvae_tpu.cli.run_cgvae import (
+        build_parser,
+        params_to_config,
+    )
+
+    args = build_parser().parse_args(["-loss_skip_factor", "1e6"])
+    assert params_to_config(args).train.loss_skip_factor == 1e6
+    default = build_parser().parse_args([])
+    assert params_to_config(default).train.loss_skip_factor == 200.0

@@ -247,6 +247,20 @@ def pcn_scan(n_steps: int = 50, batch_size: int = 8, n_basis: int = 256,
     }
 
 
+def _carry_over_extras(details: dict) -> None:
+    """BENCH_FAST must not clobber the pinned extras rows (matched_b32 /
+    chignolin / pcn) a previous FULL run left in BENCH_DETAILS.json --
+    carry them over so the cross-decoder regression pins survive."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            prev = json.load(f)
+        for key in ("matched_b32", "chignolin", "pcn", "extras_error"):
+            if key in prev and key not in details:
+                details[key] = prev[key]
+    except (OSError, ValueError):
+        pass
+
+
 def _write_details(details: dict) -> None:
     """Write BENCH_DETAILS.json atomically (the extras rewrite it as they
     land; a watchdog exit must never leave a half-written artifact)."""
@@ -280,6 +294,8 @@ def main() -> None:
     details = dict(headline)  # headline fields stay at top level
     # back-compat alias used by earlier rounds' tooling
     details["ms_per_step"] = headline["ms_per_step"]
+    if fast:
+        _carry_over_extras(details)
 
     # The ONE contract JSON line prints IMMEDIATELY after the headline
     # measurement (round-4 lesson: a hang in the extras forfeited the

@@ -147,3 +147,30 @@ def test_measure_scan_tiny_config_learns():
     for k in ("ms_per_step", "samples_per_sec_per_chip", "vs_baseline",
               "learning", "batch_size"):
         assert k in details
+
+
+def test_bench_fast_carries_over_extras(tmp_path, monkeypatch):
+    """BENCH_FAST must preserve a previous full run's extras rows
+    (matched_b32/chignolin/pcn) instead of clobbering BENCH_DETAILS.json."""
+    import json
+
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    prev = {"samples_per_sec_per_chip": 1.0,
+            "chignolin": {"ms_per_step": 9.0},
+            "pcn": {"ms_per_step": 12.7},
+            "matched_b32": {"ms_per_step": 5.4}}
+    (tmp_path / "BENCH_DETAILS.json").write_text(json.dumps(prev))
+    details = {"samples_per_sec_per_chip": 2.0}
+    bench._carry_over_extras(details)
+    assert details["chignolin"] == prev["chignolin"]
+    assert details["pcn"] == prev["pcn"]
+    assert details["matched_b32"] == prev["matched_b32"]
+    assert details["samples_per_sec_per_chip"] == 2.0  # headline NOT carried
+
+    # absent/corrupt file must be a no-op, not an error
+    (tmp_path / "BENCH_DETAILS.json").write_text("{not json")
+    bench._carry_over_extras(details)
+    (tmp_path / "BENCH_DETAILS.json").unlink()
+    bench._carry_over_extras(details)
